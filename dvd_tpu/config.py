@@ -1,0 +1,196 @@
+"""Typed configuration for dvd_tpu.
+
+The reference drives everything through a *generated Python file* of ~80
+attributes (``admin/local.py``, consumed as ``settings.env.*``; see
+reference ``admin/environment.py:6-109``).  We keep the same flag names so
+users of the reference can port configs 1:1, but replace "config as
+generated code" with plain frozen dataclasses + an override dict.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Any, Mapping, Optional, Tuple
+
+
+@dataclass(frozen=True)
+class DiffusionConfig:
+    """Diffusion process flags (reference ``admin/local.py:35,66-81``)."""
+
+    diffusion_steps: int = 3
+    noise_schedule: str = "cosine"            # "linear" | "cosine"
+    timestep_respacing: str = ""              # "" | "ddimN" | "a,b,c"
+    predict_xstart: bool = True
+    rescale_timesteps: bool = True
+    learn_sigma: bool = False
+    sigma_small: bool = False
+    use_kl: bool = False
+    rescale_learned_sigmas: bool = True
+    clip_denoised: bool = False
+    # sampling
+    n_batch: int = 2                          # number of hypotheses averaged
+    eta: float = 0.0
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    """Denoiser + conditioning flags.
+
+    ``train_mode`` selects the denoiser family exactly like the reference
+    factory (``script_util.py:93-203``):
+      - ``stage_1_dit_cross`` : DiT-S/2 w/ parallel cross-attn (production)
+      - ``stage_1_dit_cat``   : same DiT family
+      - ``stage_1``           : UNet denoiser (68-ch input)
+      - ``stage_1_transformer``: pure-transformer denoiser
+      - ``stage_1_doctr``     : GeoTr2 (DocTr-as-denoiser)
+    """
+
+    train_mode: str = "stage_1_dit_cross"
+    dit_variant: str = "DiT-S/2"
+    image_size: int = 64                      # latent flow-field resolution
+    in_channels: int = 2
+    iter: bool = True                         # per-step source re-warp branch
+    time_variant: bool = True                 # recurrent init_flow/init_feat
+    train_VGG: bool = True                    # use DiT's private pyramid
+    use_gt_mask: bool = False                 # False -> use seg-net pyramid
+    use_line_mask: bool = True
+    use_init_flow: bool = False
+    separate_cross_attn: str = "para"         # "para" | "seq" | "one"
+    # Reference quirk: the DiT forward loop never feeds one block's output
+    # into the next (cross_model.py:615-616) so only the LAST block
+    # contributes.  ``chain_blocks=False`` reproduces that (and lets us skip
+    # the dead blocks at inference); True gives a sane chained DiT for
+    # from-scratch training.
+    chain_blocks: bool = False
+    # UNet-denoiser knobs (reference local.py:57-72)
+    num_channels: int = 128
+    num_res_blocks: int = 3
+    num_heads: int = 4
+    num_heads_upsample: int = -1
+    attention_resolutions: str = "16,8"
+    dropout: float = 0.0
+    use_scale_shift_norm: bool = True
+    use_checkpoint: bool = False
+    # dtype policy
+    compute_dtype: str = "bfloat16"           # "float32" | "bfloat16"
+    param_dtype: str = "float32"
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    """Training-loop flags (reference ``admin/local.py:34-55``)."""
+
+    lr: float = 1e-4
+    batch_size: int = 10                      # per-host batch
+    microbatch: int = -1
+    weight_decay: float = 0.0
+    lr_anneal_steps: int = 0
+    ema_rate: float = 0.9999
+    grad_clip: float = 1.0
+    schedule_sampler: str = "uniform"         # "uniform" | "loss-second-moment"
+    log_interval: int = 20
+    save_interval: int = 4000
+    resume_checkpoint: Optional[str] = None
+    resume_step: int = 0
+    use_fp16: bool = False                    # torch-era flag; bf16 on TPU
+    fp16_scale_growth: float = 1e-3
+    seed: int = 0
+
+
+@dataclass(frozen=True)
+class DataConfig:
+    """Dataset roots & eval-set selection (reference ``local.py:8-33``)."""
+
+    dataset_name: str = "doc3d"
+    data_root: str = ""
+    eval_dataset_name: str = "docunet"        # docunet|dir300|anyphoto|docreal
+    eval_dataset: str = ""
+    n_threads: int = 4
+    val_batch_size: int = 1
+    # device-side eval batching (the reference loops bs=1; we batch)
+    eval_device_batch: int = 8
+
+
+@dataclass(frozen=True)
+class ParallelConfig:
+    """Mesh layout.  The reference is pure data-parallel DDP
+    (``dist_util.py:21-72``); we map that to a ``data`` mesh axis and add an
+    optional ``model`` axis for tensor-parallel attention/MLP shards."""
+
+    data_axis: int = -1                       # -1 -> all remaining devices
+    model_axis: int = 1
+    fsdp: bool = False                        # shard params over data axis
+
+
+@dataclass(frozen=True)
+class PathsConfig:
+    """Checkpoint paths (reference ``local.py:77-80``)."""
+
+    workspace_dir: str = "checkpoints"
+    model_path: str = "checkpoints/model1852000.npz"
+    seg_model_path: str = "checkpoints/seg.npz"
+    line_seg_model_path: str = "checkpoints/line_model2.npz"
+    new_seg_model_path: str = "checkpoints/seg_model.npz"
+
+
+@dataclass(frozen=True)
+class DvDConfig:
+    diffusion: DiffusionConfig = field(default_factory=DiffusionConfig)
+    model: ModelConfig = field(default_factory=ModelConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    parallel: ParallelConfig = field(default_factory=ParallelConfig)
+    paths: PathsConfig = field(default_factory=PathsConfig)
+    name: str = "default"
+    visualize: bool = True
+
+    def replace(self, **sections: Mapping[str, Any]) -> "DvDConfig":
+        """Return a copy with per-section field overrides.
+
+        ``cfg.replace(model={"iter": False}, train={"lr": 3e-4})``
+        """
+        updates = {}
+        for sec, over in sections.items():
+            cur = getattr(self, sec)
+            if dataclasses.is_dataclass(cur) and isinstance(over, Mapping):
+                updates[sec] = dataclasses.replace(cur, **over)
+            else:
+                updates[sec] = over
+        return dataclasses.replace(self, **updates)
+
+    def to_dict(self) -> dict:
+        return dataclasses.asdict(self)
+
+    def to_json(self) -> str:
+        return json.dumps(self.to_dict(), indent=2, sort_keys=True)
+
+    @classmethod
+    def from_dict(cls, d: Mapping[str, Any]) -> "DvDConfig":
+        kwargs: dict = {}
+        for f in dataclasses.fields(cls):
+            if f.name not in d:
+                continue
+            v = d[f.name]
+            if dataclasses.is_dataclass(f.type) or f.name in (
+                "diffusion", "model", "train", "data", "parallel", "paths"
+            ):
+                sub_cls = {
+                    "diffusion": DiffusionConfig,
+                    "model": ModelConfig,
+                    "train": TrainConfig,
+                    "data": DataConfig,
+                    "parallel": ParallelConfig,
+                    "paths": PathsConfig,
+                }[f.name]
+                kwargs[f.name] = sub_cls(**v)
+            else:
+                kwargs[f.name] = v
+        return cls(**kwargs)
+
+
+def default_config() -> DvDConfig:
+    """The production configuration shipped by the reference
+    (``train_mode='stage_1_dit_cross'``, iter/time_variant on, T=3)."""
+    return DvDConfig()
