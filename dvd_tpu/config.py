@@ -50,6 +50,8 @@ class ModelConfig:
     train_mode: str = "stage_1_dit_cross"
     dit_variant: str = "DiT-S/2"
     image_size: int = 64                      # latent flow-field resolution
+    source_size: int = 512                    # conditioning image resolution
+    perception_size: int = 288                # aux-net input resolution
     in_channels: int = 2
     iter: bool = True                         # per-step source re-warp branch
     time_variant: bool = True                 # recurrent init_flow/init_feat

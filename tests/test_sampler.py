@@ -1,0 +1,102 @@
+"""Sampler semantics tests with a lightweight stand-in denoiser."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dvd_tpu.diffusion.sampler import ddim_sample_loop, rollout_states_for_training
+from dvd_tpu.diffusion.schedule import make_schedule
+
+S = 8
+
+
+def make_model_fn(target):
+    """A 'perfect' denoiser that always predicts `target` as x0 and returns
+    a feature map derived from the conditioning."""
+    calls = []
+
+    def model_fn(x, t, cond, *, init_flow, init_feat, seed_init_feat,
+                 remap_timesteps):
+        # keep raw (possibly traced) values; convert lazily in assertions
+        calls.append(dict(t=t, seed=seed_init_feat, remap=remap_timesteps))
+        b = x.shape[0]
+        pred = jnp.broadcast_to(target, (b, S, S, 2)) + 0.0 * x
+        feat = jnp.ones((b, S, S, 4)) * cond["y512"].mean()
+        return pred, feat
+
+    return model_fn, calls
+
+
+def test_ddim_loop_converges_to_model_prediction():
+    sched = make_schedule(steps=3)
+    target = jnp.full((S, S, 2), 0.25)
+    model_fn, calls = make_model_fn(target)
+    cond = {"y512": jnp.ones((2, 16, 16, 3))}
+    init_flow = jnp.zeros((2, S, S, 2))
+    init_feat = jnp.zeros((2, S, S, 4))
+
+    out = ddim_sample_loop(
+        model_fn, sched, cond, init_flow, init_feat,
+        rng=jax.random.PRNGKey(0), latent_size=S, n_batch=2,
+        time_variant=True,
+    )
+    assert out.flow.shape == (2, S, S, 2)
+    assert out.hypotheses.shape == (2, 2, S, S, 2)
+    # a perfect x0-predictor should end exactly at its prediction
+    np.testing.assert_allclose(np.asarray(out.flow), 0.25, atol=1e-5)
+
+    # 3 steps, descending t, first step seeds init_feat, rest don't
+    assert len(calls) == 3
+    ts = [np.asarray(c["t"]) for c in calls]
+    expected = [sched.model_timesteps[2], sched.model_timesteps[1],
+                sched.model_timesteps[0]]
+    np.testing.assert_allclose([t[0] for t in ts], np.asarray(expected))
+    assert np.asarray(calls[0]["seed"]).all()
+    assert not np.asarray(calls[1]["seed"]).any()
+    assert all(c["remap"] for c in calls)
+    # hypotheses folded into batch: 2 images x 2 hypotheses
+    assert ts[0].shape == (4,)
+
+
+def test_ddim_loop_jits():
+    sched = make_schedule(steps=3)
+    target = jnp.full((S, S, 2), -0.1)
+    model_fn, _ = make_model_fn(target)
+    cond = {"y512": jnp.ones((1, 16, 16, 3))}
+
+    @jax.jit
+    def run(rng):
+        return ddim_sample_loop(
+            model_fn, sched, cond, jnp.zeros((1, S, S, 2)),
+            jnp.zeros((1, S, S, 4)), rng=rng, latent_size=S, n_batch=2,
+            time_variant=True,
+        ).flow
+
+    out = run(jax.random.PRNGKey(1))
+    np.testing.assert_allclose(np.asarray(out), -0.1, atol=1e-5)
+
+
+def test_rollout_states_selected_by_timestep():
+    """t == T-1 keeps the provided init state; t < T-1 gets rolled-out,
+    clamped flow + re-warped features, all under stop_gradient."""
+    sched = make_schedule(steps=3)
+    target = jnp.full((S, S, 2), 0.5)
+    model_fn, calls = make_model_fn(target)
+    cond = {"y512": jnp.ones((3, 16, 16, 3))}
+    init_flow = jnp.full((3, S, S, 2), -0.9)
+    init_feat = jnp.zeros((3, S, S, 4))
+    t = jnp.array([2, 1, 0])
+
+    out_flow, out_feat = rollout_states_for_training(
+        model_fn, sched, cond, init_flow, init_feat, t,
+        rng=jax.random.PRNGKey(0), latent_size=S,
+    )
+    assert out_flow.shape == (3, S, S, 2)
+    # sample with t=2: untouched init
+    np.testing.assert_allclose(np.asarray(out_flow[0]), -0.9, atol=1e-6)
+    # samples with t<2: rollout predicts 0.5 everywhere
+    np.testing.assert_allclose(np.asarray(out_flow[1]), 0.5, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(out_flow[2]), 0.5, atol=1e-4)
+    # rollout runs T-1 = 2 model calls, without the sampling-mode remap
+    assert len(calls) == 2
+    assert not any(c["remap"] for c in calls)
