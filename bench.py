@@ -1,0 +1,72 @@
+"""Benchmark: end-to-end dewarping throughput on one chip.
+
+Measures the full production inference path at reference shapes —
+U2NetP seg pyramid + GeoTr mask + text-line UNet conditioning, DiT-S/2
+with 3 DDIM steps x 2 hypotheses (time-variant feature re-warping), and
+the 512^2 grid_sample unwarp — on randomly initialized weights (identical
+FLOP/memory profile to trained ones).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline: the reference repo records no number (BASELINE.md); its sampler
+is a bs=1 Python loop over 3 DDIM steps x 2 hypotheses with per-step disk
+I/O, reported by the paper's authors at roughly ~1 s/image on a desktop
+GPU.  We use REFERENCE_IMGS_PER_SEC = 1.0 as the documented proxy, so
+vs_baseline = measured imgs/sec / 1.0 (BASELINE.json's target is >= 10x).
+"""
+
+import json
+import sys
+import time
+
+REFERENCE_IMGS_PER_SEC = 1.0
+BATCH = 8
+ITERS = 5
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from dvd_tpu.config import default_config
+    from dvd_tpu.evaluation.pipeline import DewarpPipeline, unwarp_fixed
+    from dvd_tpu.utils.runtime import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    cfg = default_config()
+    pipe = DewarpPipeline.create(cfg, rng=jax.random.PRNGKey(0))
+
+    # staged jits keep each remote-compile unit under the tunnel's request
+    # size limit and maximize persistent-cache reuse
+    cond_fn, sample_fn = pipe.jitted_stages()
+    unwarp = jax.jit(unwarp_fixed)
+
+    def run(source512, rng):
+        cond, init_flow, init_feat = cond_fn(source512)
+        flow = sample_fn(cond, init_flow, init_feat, rng)
+        return unwarp(source512, flow)
+
+    src = jax.random.uniform(jax.random.PRNGKey(1), (BATCH, 512, 512, 3))
+    rng = jax.random.PRNGKey(2)
+
+    # warmup / compile
+    run(src, rng)[0].block_until_ready()
+
+    t0 = time.perf_counter()
+    for i in range(ITERS):
+        out = run(src, jax.random.fold_in(rng, i))
+    out.block_until_ready()
+    dt = time.perf_counter() - t0
+
+    imgs_per_sec = BATCH * ITERS / dt
+    print(json.dumps({
+        "metric": "dewarp_imgs_per_sec_per_chip",
+        "value": round(imgs_per_sec, 3),
+        "unit": "imgs/sec",
+        "vs_baseline": round(imgs_per_sec / REFERENCE_IMGS_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,72 @@
+"""Threaded prefetching batch loader.
+
+Replaces the reference's ``Loader(DataLoader)`` + per-worker numpy
+reseeding (``utils_data/loaders.py:7-81``): a thread pool decodes/augments
+samples ahead of consumption and assembles numpy batches; per-sample RNG
+seeds derive deterministically from (epoch, index, seed), which is both
+reproducible and free of the duplicated-augmentation-RNG bug the reference
+works around.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Dict, Iterator, Sequence
+
+import numpy as np
+
+
+class PrefetchLoader:
+    def __init__(self, dataset, batch_size: int, num_workers: int = 4,
+                 seed: int = 0, keys: Sequence[str] = (),
+                 shuffle: bool = True, depth: int = 2,
+                 drop_last: bool = True):
+        self.ds = dataset
+        self.batch_size = batch_size
+        self.num_workers = max(1, num_workers)
+        self.seed = seed
+        self.keys = keys
+        self.shuffle = shuffle
+        self.depth = depth
+        self.drop_last = drop_last
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        epoch = 0
+        pool = ThreadPoolExecutor(self.num_workers)
+        q: "queue.Queue" = queue.Queue(maxsize=self.depth)
+        stop = threading.Event()
+
+        def producer():
+            nonlocal epoch
+            while not stop.is_set():
+                rng = np.random.RandomState(self.seed + epoch)
+                order = np.arange(len(self.ds))
+                if self.shuffle:
+                    rng.shuffle(order)
+                n = len(order)
+                end = n - n % self.batch_size if self.drop_last else n
+                for s in range(0, end, self.batch_size):
+                    idx = order[s:s + self.batch_size]
+                    futs = [
+                        pool.submit(self.ds.__getitem__, int(i),
+                                    self.seed + epoch * 1000003 + int(i))
+                        for i in idx
+                    ]
+                    items = [f.result() for f in futs]
+                    keys = self.keys or list(items[0].keys())
+                    batch = {k: np.stack([it[k] for it in items]) for k in keys}
+                    q.put(batch)
+                    if stop.is_set():
+                        return
+                epoch += 1
+
+        th = threading.Thread(target=producer, daemon=True)
+        th.start()
+        try:
+            while True:
+                yield q.get()
+        finally:
+            stop.set()
+            pool.shutdown(wait=False, cancel_futures=True)

@@ -62,6 +62,7 @@ def ddim_sample_loop(
     time_variant: bool = True,
     eta: float = 0.0,
     clip_denoised: bool = False,
+    unroll: bool = False,
 ) -> SampleResult:
     """Full T-step DDIM inference (reference ddim_sample_loop +
     ddim_sample_loop_progressive_only_mean)."""
@@ -76,30 +77,47 @@ def ddim_sample_loop(
     nb = n_batch * b
     x = jax.random.normal(rng, (nb, s, s, 2), dtype=jnp.float32)
 
-    pred_flow = init_flow_r
-    feat = init_feat_r
-    for i in reversed(range(T)):
-        first = i == T - 1
-        if time_variant and not first:
-            # recurrent conditioning update (reference :618-624)
-            init_flow_r = pred_flow
-            feat = warp(feat, flow_to_grid(pred_flow))
-            init_feat_r = feat
+    if init_feat_r is None:
+        init_feat_r = jnp.zeros((nb, s, s, 256), jnp.float32)
+
+    # lax.scan over the T steps: the traced program contains ONE copy of
+    # the denoiser (vs T under unrolling) — a 3x smaller executable, which
+    # matters under remote-compile size limits and for compile latency.
+    def body(carry, step_in):
+        x, pred_flow, feat, fl, ft = carry
+        i, first = step_in
+        if time_variant:
+            # recurrent conditioning update, skipped on the first step
+            # (reference :618-624)
+            sel = first.reshape(1, 1, 1, 1)
+            fl = jnp.where(sel, fl, pred_flow)
+            warped = warp(feat, flow_to_grid(pred_flow))
+            ft = jnp.where(sel, ft, warped)
         t = jnp.full((nb,), i, dtype=jnp.int32)
         pred_x0, feat_out = model_fn(
             x,
             G.model_t(sched, t),
             cond_r,
-            init_flow=init_flow_r,
-            init_feat=init_feat_r,
-            seed_init_feat=jnp.full((nb,), first),
+            init_flow=fl,
+            init_feat=ft,
+            seed_init_feat=jnp.full((nb,), True) & first,
             remap_timesteps=True,
         )
         step = G.ddim_step(sched, x, t, pred_x0, eta=eta,
                            clip_denoised=clip_denoised)
-        x = step.sample
-        pred_flow = step.pred_xstart
-        feat = feat_out
+        return (step.sample, step.pred_xstart, feat_out, fl, ft), None
+
+    steps = jnp.arange(T - 1, -1, -1, dtype=jnp.int32)
+    firsts = steps == (T - 1)
+    carry0 = (x, init_flow_r, init_feat_r, init_flow_r, init_feat_r)
+    if unroll:
+        carry = carry0
+        for k in range(T):
+            carry, _ = body(carry, (steps[k], firsts[k]))
+        (x, pred_flow, feat, _, _) = carry
+    else:
+        (x, pred_flow, feat, _, _), _ = jax.lax.scan(
+            body, carry0, (steps, firsts))
 
     hyp = pred_flow.reshape(n_batch, b, s, s, 2)
     mean_flow = jnp.clip(jnp.mean(hyp, axis=0), -1.0, 1.0)

@@ -173,6 +173,29 @@ class DewarpPipeline:
     def jitted_dewarp_flow(self):
         return jax.jit(self.dewarp_flow)
 
+    def sample_from_conditioning(self, cond, init_flow, init_feat, rng):
+        """Diffusion stage only (conditioning precomputed)."""
+        result = ddim_sample_loop(
+            self.dit_fn, self.sched, cond, init_flow,
+            init_feat if self.cfg.model.time_variant else None,
+            rng=rng,
+            latent_size=self.cfg.model.image_size,
+            n_batch=self.cfg.diffusion.n_batch,
+            time_variant=bool(self.cfg.model.time_variant),
+            eta=self.cfg.diffusion.eta,
+            clip_denoised=self.cfg.diffusion.clip_denoised,
+        )
+        return result.flow
+
+    def jitted_stages(self):
+        """Separately-jitted (conditioning, sampling) stages.  Smaller
+        compile units than the fused ``dewarp_flow`` — required under
+        remote-compile request-size limits and friendlier to the
+        persistent compilation cache."""
+        cond_fn = jax.jit(self.build_conditioning)
+        sample_fn = jax.jit(self.sample_from_conditioning)
+        return cond_fn, sample_fn
+
 
 # ---------------------------------------------------------------- unwarp
 def unwarp_native(

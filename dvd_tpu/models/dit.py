@@ -272,8 +272,14 @@ class DiT(nn.Module):
                     tokens = sum(streams) / len(streams)
             else:
                 # reference dead-block semantics: every block reads the
-                # original tokens; only the last survives (XLA DCEs the rest)
-                for blk in blocks:
+                # original tokens and only the last survives
+                # (cross_model.py:615-616).  At init we call every block so
+                # their parameters exist (checkpoint-shape parity); at
+                # apply we only trace the live one — this keeps the traced
+                # HLO ~12x smaller, which matters for remote-compile
+                # request limits, and is bit-identical.
+                live = blocks if self.is_initializing() else blocks[-1:]
+                for blk in live:
                     streams = blk(tokens, t_emb, cond, msk6, msk_line, r)
             # reference concat order is [x1, x2, x3(, x4)] (cross_model.py:619-623)
             fused = jnp.concatenate(list(streams), axis=-1)  # (N, T, k*D)

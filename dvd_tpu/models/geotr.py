@@ -54,7 +54,12 @@ class ResidualBlock(nn.Module):
         y = nn.relu(instance_norm(y))
         y = nn.Conv(self.planes, (3, 3), padding=1, dtype=self.dtype, name="conv2")(y)
         y = nn.relu(instance_norm(y))
-        if self.stride != 1:
+        # Note: the reference's BasicEncoder2 feeds a 68-ch input into a
+        # 64-ch stride-1 block with no projection (extractor.py:119-175 via
+        # geotr_core.py:670) — that code path cannot execute in torch
+        # either (train_mode='stage_1_doctr' is broken upstream).  We add
+        # the standard 1x1 projection whenever shapes mismatch.
+        if self.stride != 1 or x.shape[-1] != self.planes:
             x = nn.Conv(self.planes, (1, 1), strides=self.stride,
                         dtype=self.dtype, name="downsample_0")(x)
             x = instance_norm(x)
@@ -292,7 +297,8 @@ class GeoTr2(nn.Module):
         fmap = TransEncoder(self.num_attn_layers, self.hidden_dim, self.dtype,
                             name="TransEncoder_0")(fmap)
         fmap = TransDecoder(self.num_attn_layers, self.hidden_dim,
-                            32 * 32, self.dtype, name="TransDecoder_0")(fmap)
+                            (self.latent // 2) ** 2, self.dtype,
+                            name="TransDecoder_0")(fmap)
         n, hh, ww, _ = fmap.shape
         coords0 = coords_grid_pixels(n, hh, ww, jnp.float32)
         mask, coords1 = UpdateBlock(self.hidden_dim, self.dtype,

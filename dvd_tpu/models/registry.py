@@ -1,0 +1,94 @@
+"""Model + diffusion factory (parity with reference
+``improved_diffusion/script_util.py:38-244``).
+
+``train_mode`` selects the denoiser exactly as the reference's
+``create_model`` switch (``script_util.py:93-203``):
+
+- ``stage_1_dit_cross`` / ``stage_1_dit_cat``: DiT (production; cat vs
+  cross differed upstream only in conditioning plumbing — both map to the
+  parallel-cross-attn DiT here)
+- ``stage_1``: UNet denoiser, 68-ch input (src_feat 64 + x 2 + init_flow 2)
+- ``sr``: UNet super-resolution variant, 85-ch input
+- ``trg_feat``: UNet with correlation + target-feature input (149 ch)
+- ``stage_1_transformer``: pure-transformer denoiser
+- ``stage_1_doctr``: GeoTr2 (DocTr-as-denoiser)
+
+``create_gaussian_diffusion`` parity: cosine betas, x0 prediction,
+FIXED_LARGE variance, RESCALED_MSE, rescale_timesteps — all folded into
+``DiffusionSchedule`` + the loss functions in ``dvd_tpu.diffusion``.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Tuple
+
+import jax.numpy as jnp
+
+from dvd_tpu.config import DvDConfig
+from dvd_tpu.diffusion.schedule import DiffusionSchedule, make_schedule
+from dvd_tpu.models.dit import make_dit
+from dvd_tpu.models.geotr import GeoTr2
+from dvd_tpu.models.transformer_denoiser import TransformerDenoiser
+from dvd_tpu.models.unet_denoiser import UNetDenoiser
+
+
+def attention_ds(image_size: int, attention_resolutions: str) -> Tuple[int, ...]:
+    """'16,8' -> downsample ratios (script_util.py:164-168)."""
+    return tuple(image_size // int(r)
+                 for r in attention_resolutions.split(","))
+
+
+def create_model(cfg: DvDConfig):
+    m = cfg.model
+    mode = m.train_mode
+    dtype = jnp.dtype(m.compute_dtype) if m.compute_dtype != "float32" \
+        else jnp.float32
+
+    if mode in ("stage_1_dit_cross", "stage_1_dit_cat"):
+        return make_dit(
+            m.dit_variant, input_size=m.image_size, in_channels=m.in_channels,
+            separate_cross_attn=m.separate_cross_attn,
+            tv=bool(m.time_variant), chain_blocks=m.chain_blocks, dtype=dtype,
+        )
+    ds = attention_ds(m.image_size, m.attention_resolutions)
+    if mode == "stage_1":
+        return UNetDenoiser(
+            in_channels=68, model_channels=m.num_channels,
+            out_channels=m.in_channels, num_res_blocks=m.num_res_blocks,
+            attention_ds=ds, num_heads=m.num_heads,
+            num_heads_upsample=m.num_heads_upsample,
+            use_scale_shift_norm=m.use_scale_shift_norm,
+            train_mode="stage_1", dtype=dtype,
+        )
+    if mode == "sr":
+        return UNetDenoiser(
+            in_channels=85, model_channels=m.num_channels,
+            out_channels=m.in_channels, num_res_blocks=m.num_res_blocks,
+            attention_ds=ds, num_heads=m.num_heads,
+            use_scale_shift_norm=m.use_scale_shift_norm,
+            train_mode="sr", dtype=dtype,
+        )
+    if mode == "trg_feat":
+        return UNetDenoiser(
+            in_channels=149, model_channels=m.num_channels,
+            out_channels=m.in_channels, num_res_blocks=m.num_res_blocks,
+            attention_ds=ds, num_heads=m.num_heads,
+            use_scale_shift_norm=m.use_scale_shift_norm,
+            train_mode="trg_feat", dtype=dtype,
+        )
+    if mode == "stage_1_transformer":
+        return TransformerDenoiser(dtype=dtype)
+    if mode == "stage_1_doctr":
+        return GeoTr2(latent=m.image_size, dtype=dtype)
+    raise ValueError(f"unknown train_mode {mode!r}")
+
+
+def create_model_and_diffusion(cfg: DvDConfig) -> Tuple[Any, DiffusionSchedule]:
+    model = create_model(cfg)
+    sched = make_schedule(
+        steps=cfg.diffusion.diffusion_steps,
+        schedule_name=cfg.diffusion.noise_schedule,
+        respacing=cfg.diffusion.timestep_respacing,
+        rescale_timesteps=cfg.diffusion.rescale_timesteps,
+    )
+    return model, sched

@@ -1,0 +1,103 @@
+"""Checkpoint save/load.
+
+Two formats:
+- **Model variable files** (``.msgpack``): flax-serialized variable trees
+  — the output of the torch->flax converter and the format the inference
+  pipeline loads (stand-ins for the reference's ``model{step}.pt`` /
+  ``seg.pth`` / ``seg_model.pth`` / ``line_model2.pth``).
+- **Training state directories** (orbax): full TrainState (params,
+  optimizer, EMA, step) with step-numbered subdirs, mirroring the
+  reference's ``model{step:06d}.pt`` + ``ema_*`` + ``opt{step}.pt`` trio
+  (``train_util.py:599-624``) in one atomic checkpoint; resume restores
+  all three plus the step counter (``train_util.py:148-204,645-657``).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+
+
+# --------------------------------------------------------------- msgpack IO
+
+
+def save_variables(path: str, variables: Dict[str, Any]) -> None:
+    from flax import serialization
+
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    raw = serialization.msgpack_serialize(
+        jax.tree.map(np.asarray, variables))
+    with open(path, "wb") as f:
+        f.write(raw)
+
+
+def load_variables(path: str) -> Dict[str, Any]:
+    from flax import serialization
+
+    with open(path, "rb") as f:
+        return serialization.msgpack_restore(f.read())
+
+
+def maybe_load_pipeline_weights(pipe, cfg) -> Dict[str, bool]:
+    """Load any converted checkpoints that exist at the configured paths
+    (reference ``local.py:77-80``); silently keep random init otherwise so
+    smoke runs work without weights."""
+    loaded = {}
+    table = [
+        ("dit_vars", cfg.paths.model_path),
+        ("geotr_vars", cfg.paths.seg_model_path),
+        ("line_vars", cfg.paths.line_seg_model_path),
+        ("seg_vars", cfg.paths.new_seg_model_path),
+    ]
+    for attr, path in table:
+        ok = False
+        for cand in (path, path + ".msgpack",
+                     re.sub(r"\.(pt|pth|npz)$", ".msgpack", path)):
+            if os.path.isfile(cand):
+                setattr(pipe, attr, load_variables(cand))
+                ok = True
+                break
+        loaded[attr] = ok
+    return loaded
+
+
+# ----------------------------------------------------------------- orbax IO
+
+
+def _ckpt_dir(workspace: str, step: int) -> str:
+    return os.path.join(os.path.abspath(workspace), f"state_{step:08d}")
+
+
+def save_train_state(workspace: str, state, step: Optional[int] = None) -> str:
+    import orbax.checkpoint as ocp
+
+    step = int(state.step) if step is None else step
+    path = _ckpt_dir(workspace, step)
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, state, force=True)
+    ckptr.wait_until_finished()
+    return path
+
+
+def latest_checkpoint(workspace: str) -> Optional[str]:
+    if not os.path.isdir(workspace):
+        return None
+    steps = []
+    for name in os.listdir(workspace):
+        m = re.fullmatch(r"state_(\d+)", name)
+        if m:
+            steps.append(int(m.group(1)))
+    if not steps:
+        return None
+    return _ckpt_dir(workspace, max(steps))
+
+
+def restore_train_state(path: str, template) -> Any:
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    return ckptr.restore(path, template)

@@ -1,0 +1,148 @@
+"""Training driver: data -> conditioning (frozen aux nets) -> sharded
+train step -> checkpoints/metrics.
+
+Maps the reference ``TrainLoop.run_loop_dewarping`` (``train_util.py:
+211-344``) onto the TPU design:
+
+- frozen Seg + line-UNet conditioning computed on device per batch
+  (``:275-293``), under one jit with the train step
+- GT flow normalization /(size-1) and 64^2 resize (``:306-312``)
+- logging every ``log_interval``, checkpoints every ``save_interval``
+  (``:333-339``) with per-quartile loss keys
+- ``DVD_TRAINING_TEST=1`` stops after the first save (the reference's
+  DIFFUSION_TRAINING_TEST integration-test hook, ``:336-339``)
+- batch sharded over the mesh ``data`` axis; params replicated (or TP/FSDP
+  per ParallelConfig) — XLA inserts the DDP-equivalent gradient psum
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Dict, Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from dvd_tpu.config import DvDConfig
+from dvd_tpu.diffusion.schedule import make_schedule
+from dvd_tpu.evaluation.pipeline import DewarpPipeline
+from dvd_tpu.models.u2net import seg_pyramid_to_latent
+from dvd_tpu.ops.resize import resize_bilinear
+from dvd_tpu.parallel.mesh import make_mesh, sharding_tree
+from dvd_tpu.training import checkpoint as ckpt
+from dvd_tpu.training.train_state import (create_train_state, make_optimizer,
+                                          make_train_step)
+from dvd_tpu.utils.logger import KVLogger, log_loss_quartiles
+
+
+def build_device_batch(pipe: DewarpPipeline, raw: Dict[str, jnp.ndarray],
+                       latent: int) -> Dict[str, jnp.ndarray]:
+    """Host batch -> conditioning + normalized flow targets (all NHWC).
+
+    raw: source_image (B,512,512,3) [0,1], doc_mask (B,512,512,1),
+         flow_map / flow_map_inter (B,512,512,2) absolute offsets.
+    """
+    per = pipe.cfg.model.perception_size
+    src = raw["source_image"]
+    h = src.shape[1]
+    src288 = resize_bilinear(src, (per, per), align_corners=True)
+
+    mskx, _, hx6, hx5d, hx4d, hx3d, hx2d, hx1d = pipe.seg.apply(
+        pipe.seg_vars, src288)
+    seg_map_all = seg_pyramid_to_latent((hx6, hx5d, hx4d, hx3d, hx2d, hx1d),
+                                        latent)
+    line_feat, _ = pipe.line.apply(pipe.line_vars, mskx)
+    line_msk = resize_bilinear(line_feat, (latent, latent), align_corners=False)
+
+    scale = jnp.asarray([h - 1.0, h - 1.0], jnp.float32)
+    flow = raw["flow_map"] / scale
+    flow_inter = raw["flow_map_inter"] / scale
+    flow64 = resize_bilinear(flow, (latent, latent), align_corners=True)
+
+    return {
+        "y512": src,
+        "mask_cat": raw["doc_mask"],
+        "mask_y512": seg_map_all,
+        "line_msk": line_msk,
+        "flow64": flow64,
+        "flow_inter": flow_inter,
+        "mask": jnp.ones((src.shape[0], h, h, 1), jnp.float32),
+    }
+
+
+def train(cfg: DvDConfig, data_iter: Iterator[Dict[str, np.ndarray]],
+          max_steps: Optional[int] = None,
+          logger: Optional[KVLogger] = None) -> None:
+    logger = logger or KVLogger(os.path.join(cfg.paths.workspace_dir,
+                                             f"train_{cfg.name}"))
+    mesh = make_mesh(cfg.parallel.data_axis, cfg.parallel.model_axis)
+    latent = cfg.model.image_size
+
+    pipe = DewarpPipeline.create(cfg, rng=jax.random.PRNGKey(cfg.train.seed))
+    ckpt.maybe_load_pipeline_weights(pipe, cfg)
+
+    sched = make_schedule(
+        steps=cfg.diffusion.diffusion_steps,
+        schedule_name=cfg.diffusion.noise_schedule,
+        respacing=cfg.diffusion.timestep_respacing,
+        rescale_timesteps=cfg.diffusion.rescale_timesteps,
+    )
+    tx = make_optimizer(cfg)
+    state = create_train_state(cfg, pipe.dit_vars, tx)
+
+    # resume (reference train_util.py:148-204)
+    resume_path = cfg.train.resume_checkpoint or ckpt.latest_checkpoint(
+        os.path.join(cfg.paths.workspace_dir, cfg.name))
+    if resume_path and os.path.isdir(str(resume_path)):
+        state = ckpt.restore_train_state(resume_path, state)
+        logger.log(f"resumed from {resume_path} at step {int(state.step)}")
+
+    train_step = make_train_step(cfg, sched, pipe.dit.apply, tx)
+
+    with mesh:
+        psh = sharding_tree(state.params, mesh, cfg.parallel.fsdp)
+        state.params = jax.tree.map(jax.device_put, state.params, psh)
+        state.ema_params = jax.tree.map(jax.device_put, state.ema_params, psh)
+        batch_sh = NamedSharding(mesh, P("data"))
+
+        prep = jax.jit(lambda raw: build_device_batch(pipe, raw, latent))
+        step_fn = jax.jit(train_step, donate_argnums=(0,))
+
+        rng = jax.random.PRNGKey(cfg.train.seed)
+        t_last = time.perf_counter()
+        ws = os.path.join(cfg.paths.workspace_dir, cfg.name)
+
+        for raw in data_iter:
+            step = int(state.step)
+            if max_steps is not None and step >= max_steps:
+                break
+            raw = {k: jax.device_put(jnp.asarray(v), batch_sh)
+                   for k, v in raw.items()}
+            batch = prep(raw)
+            state, metrics = step_fn(state, batch, rng)
+
+            if step % cfg.train.log_interval == 0:
+                m = {k: float(v) for k, v in metrics.items()}
+                log_loss_quartiles(logger, sched.num_timesteps,
+                                   [m.pop("t_mean")],
+                                   {"loss": m["loss"], "mse": m["mse"]})
+                dt = time.perf_counter() - t_last
+                t_last = time.perf_counter()
+                logger.logkv("step", step)
+                logger.logkv("grad_norm", m["grad_norm"])
+                b = batch["flow64"].shape[0]
+                logger.logkv("samples_per_sec",
+                             b * cfg.train.log_interval / max(dt, 1e-9))
+                logger.dumpkvs(step)
+
+            if step > 0 and step % cfg.train.save_interval == 0:
+                path = ckpt.save_train_state(ws, state)
+                logger.log(f"saved {path}")
+                if os.environ.get("DVD_TRAINING_TEST") or \
+                        os.environ.get("DIFFUSION_TRAINING_TEST"):
+                    return
+
+        ckpt.save_train_state(ws, state)

@@ -1,0 +1,174 @@
+"""Train state + sharded train step.
+
+Replaces the reference's ``TrainLoop`` internals (``train_util.py:38-642``):
+AdamW (``:111``), EMA at rate 0.9999 (``local.py:52``), global-norm grad
+clipping at 1.0 (``:411``), linear LR anneal over ``lr_anneal_steps``
+(``:583-590``), and DDP gradient averaging — which on TPU is simply the
+psum XLA inserts when the step is jitted with a batch sharded over the
+``data`` mesh axis and replicated parameters.
+
+The production loss path (iter=True, time-variant) runs the vectorized
+rollout from ``dvd_tpu.diffusion.sampler`` instead of the reference's
+per-sample Python loop (its single biggest training-throughput sin).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from dvd_tpu.config import DvDConfig
+from dvd_tpu.diffusion import losses as L
+from dvd_tpu.diffusion.schedule import DiffusionSchedule
+from dvd_tpu.training import resample
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class TrainState:
+    step: jnp.ndarray
+    params: Any
+    opt_state: Any
+    ema_params: Any
+    batch_stats: Any            # SATRN decoder BN running stats (trainable model)
+    sampler_state: Optional[resample.LossSecondMomentState]
+
+
+def make_optimizer(cfg: DvDConfig) -> optax.GradientTransformation:
+    lr = cfg.train.lr
+    if cfg.train.lr_anneal_steps:
+        # reference _anneal_lr: lr * (1 - step/anneal_steps) (train_util.py:583)
+        schedule = lambda step: lr * jnp.maximum(
+            0.0, 1.0 - step / cfg.train.lr_anneal_steps
+        )
+    else:
+        schedule = lr
+    return optax.chain(
+        optax.clip_by_global_norm(cfg.train.grad_clip),
+        optax.adamw(schedule, weight_decay=cfg.train.weight_decay),
+    )
+
+
+def create_train_state(cfg: DvDConfig, variables: Dict[str, Any],
+                       tx: Optional[optax.GradientTransformation] = None
+                       ) -> TrainState:
+    tx = tx or make_optimizer(cfg)
+    params = variables["params"]
+    sampler_state = None
+    if cfg.train.schedule_sampler == "loss-second-moment":
+        sampler_state = resample.LossSecondMomentState.create(
+            cfg.diffusion.diffusion_steps)
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        opt_state=tx.init(params),
+        ema_params=jax.tree.map(jnp.copy, params),
+        batch_stats=variables.get("batch_stats", {}),
+        sampler_state=sampler_state,
+    )
+
+
+def make_train_step(
+    cfg: DvDConfig,
+    sched: DiffusionSchedule,
+    dit_apply: Callable,          # flax Module.apply of the denoiser
+    tx: optax.GradientTransformation,
+) -> Callable:
+    """Returns train_step(state, batch, rng) -> (state, metrics).
+
+    ``batch`` (all device arrays, NHWC):
+      y512        (B, 512, 512, 3)  source image [0,1]
+      mask_cat    (B, 512, 512, 1)  doc mask
+      mask_y512   (B, S, S, 384)    seg pyramid conditioning
+      line_msk    (B, S, S, 64)     text-line conditioning
+      flow64      (B, S, S, 2)      GT offsets at latent res
+      flow_inter  (B, 512, 512, 2)  intermediate offsets
+      mask        (B, 512, 512, 1)  loss mask
+    """
+    ema_rate = cfg.train.ema_rate
+    s = cfg.model.image_size
+    use_tv = bool(cfg.model.time_variant) and cfg.model.iter
+
+    def loss_fn(params, batch_stats, batch, t, rng):
+        mutable_bs = {}
+
+        def model_fn(x, tt, cond, *, init_flow, init_feat, seed_init_feat,
+                     remap_timesteps):
+            out, new_state = dit_apply(
+                {"params": params, "batch_stats": batch_stats},
+                x, tt,
+                y512=cond["y512"], mask_cat=cond.get("mask_cat"),
+                mask_y512=cond["mask_y512"], line_msk=cond["line_msk"],
+                init_flow=init_flow, init_feat=init_feat,
+                seed_init_feat=seed_init_feat,
+                remap_timesteps=remap_timesteps,
+                train=True,
+                mutable=["batch_stats"],
+                rngs={"dropout": jax.random.fold_in(rng, 1)},
+            )
+            mutable_bs.update(new_state.get("batch_stats", {}))
+            return out
+
+        cond = {k: batch[k] for k in ("y512", "mask_cat", "mask_y512", "line_msk")}
+        b = batch["flow64"].shape[0]
+        init_flow = jnp.zeros((b, s, s, 2), jnp.float32)
+        init_feat = jnp.zeros((b, s, s, 256), jnp.float32)
+        if use_tv:
+            terms = L.time_variant_loss(
+                model_fn, sched, cond, init_flow, init_feat,
+                batch["flow64"], batch["flow_inter"], batch["mask"], t, rng)
+        else:
+            terms = L.composed_warp_loss(
+                model_fn, sched, cond, init_flow,
+                init_feat if cfg.model.time_variant else None,
+                batch["flow64"], batch["flow_inter"], batch["mask"], t, rng)
+        return terms["loss"], (terms, mutable_bs)
+
+    def train_step(state: TrainState, batch: Dict[str, jnp.ndarray],
+                   rng: jax.Array) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+        k_t, k_loss = jax.random.split(jax.random.fold_in(rng, state.step))
+        if state.sampler_state is not None:
+            t, weights = resample.loss_aware_sample(
+                k_t, batch["flow64"].shape[0], state.sampler_state)
+        else:
+            t, weights = resample.uniform_sample(
+                k_t, batch["flow64"].shape[0], sched.num_timesteps)
+
+        (loss, (terms, new_bs)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params, state.batch_stats, batch, t, k_loss)
+
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_ema = jax.tree.map(
+            lambda e, p: e * ema_rate + p * (1.0 - ema_rate),
+            state.ema_params, new_params,
+        )
+        gnorm = optax.global_norm(grads)
+
+        sampler_state = state.sampler_state
+        if sampler_state is not None:
+            sampler_state = resample.update_history(
+                sampler_state, t, jnp.full(t.shape, loss))
+
+        metrics = {
+            "loss": loss,
+            "mse": terms["mse"],
+            "grad_norm": gnorm,
+            "t_mean": jnp.mean(t.astype(jnp.float32)),
+        }
+        new_state = TrainState(
+            step=state.step + 1,
+            params=new_params,
+            opt_state=new_opt,
+            ema_params=new_ema,
+            batch_stats=new_bs if new_bs else state.batch_stats,
+            sampler_state=sampler_state,
+        )
+        return new_state, metrics
+
+    return train_step

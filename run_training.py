@@ -1,0 +1,72 @@
+#!/usr/bin/env python
+"""Training entry point (CLI parity with the reference's
+``run_training.py``; single-controller JAX replaces the reference's
+``mpiexec`` launch — multi-host TPU slices initialize via
+``jax.distributed.initialize``).
+
+Example:
+  python run_training.py --train_module dvd --train_name train_TDiff \
+      --set data.data_root=/data/doc3d --set train.batch_size=10
+"""
+
+import argparse
+import dataclasses
+
+
+def data_iterator(cfg, seed: int):
+    """Host data pipeline: Doc3D samples -> prefetched numpy batches."""
+    import numpy as np
+
+    from dvd_tpu.data.doc3d import Doc3DDataset, make_doc3d_sample_list
+    from dvd_tpu.data.loader import PrefetchLoader
+
+    samples = make_doc3d_sample_list(cfg.data.data_root)
+    ds = Doc3DDataset(samples=samples)
+    return PrefetchLoader(ds, batch_size=cfg.train.batch_size,
+                          num_workers=cfg.data.n_threads, seed=seed,
+                          keys=("source_image", "doc_mask",
+                                "flow_map", "flow_map_inter"))
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--train_module", default="dvd")
+    ap.add_argument("--train_name", default="train_TDiff")
+    ap.add_argument("--name", default="default")
+    ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--set", action="append", dest="overrides", metavar="K=V")
+    ap.add_argument("--data_root", default=None)
+    ap.add_argument("--max_steps", type=int, default=None)
+    ap.add_argument("--multihost", action="store_true",
+                    help="call jax.distributed.initialize() first")
+    args = ap.parse_args(argv)
+
+    if args.multihost:
+        import jax
+
+        jax.distributed.initialize()
+
+    from run_sampling import parse_overrides
+
+    from dvd_tpu.config import default_config
+    from dvd_tpu.training.train_loop import train
+    from dvd_tpu.utils import runtime
+
+    cfg = default_config()
+    over = parse_overrides(args.overrides)
+    if args.data_root:
+        over.setdefault("data", {})["data_root"] = args.data_root
+    over.setdefault("train", {}).setdefault("seed", args.seed)
+    cfg = dataclasses.replace(cfg.replace(**over), name=args.name)
+
+    runtime.enable_compilation_cache()
+    loader = data_iterator(cfg, args.seed)
+    mapped = ({"source_image": b["source_image"],
+               "doc_mask": b["doc_mask"],
+               "flow_map": b["flow_map"],
+               "flow_map_inter": b["flow_map_inter"]} for b in loader)
+    train(cfg, mapped, max_steps=args.max_steps)
+
+
+if __name__ == "__main__":
+    main()

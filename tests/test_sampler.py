@@ -38,14 +38,14 @@ def test_ddim_loop_converges_to_model_prediction():
     out = ddim_sample_loop(
         model_fn, sched, cond, init_flow, init_feat,
         rng=jax.random.PRNGKey(0), latent_size=S, n_batch=2,
-        time_variant=True,
+        time_variant=True, unroll=True,
     )
     assert out.flow.shape == (2, S, S, 2)
     assert out.hypotheses.shape == (2, 2, S, S, 2)
     # a perfect x0-predictor should end exactly at its prediction
     np.testing.assert_allclose(np.asarray(out.flow), 0.25, atol=1e-5)
 
-    # 3 steps, descending t, first step seeds init_feat, rest don't
+    # 3 steps (unrolled), descending t, first step seeds init_feat
     assert len(calls) == 3
     ts = [np.asarray(c["t"]) for c in calls]
     expected = [sched.model_timesteps[2], sched.model_timesteps[1],
@@ -56,6 +56,33 @@ def test_ddim_loop_converges_to_model_prediction():
     assert all(c["remap"] for c in calls)
     # hypotheses folded into batch: 2 images x 2 hypotheses
     assert ts[0].shape == (4,)
+
+
+def test_scan_matches_unroll():
+    """The scanned sampler must be numerically identical to the unrolled
+    one (same rng, state-dependent stand-in model)."""
+    sched = make_schedule(steps=3)
+
+    def model_fn(x, t, cond, *, init_flow, init_feat, seed_init_feat,
+                 remap_timesteps):
+        # depends on x, t, and the recurrent state so every path matters
+        pred = 0.3 * jnp.tanh(x) + 0.2 * init_flow \
+            + 0.01 * t[:, None, None, None] / 1000.0 \
+            + 0.05 * init_feat.mean(axis=-1, keepdims=True)
+        feat = jnp.concatenate([x, init_flow], axis=-1) * 0.5 + 0.1
+        return pred, jnp.tile(feat, (1, 1, 1, 1))
+
+    cond = {"y512": jnp.ones((2, 16, 16, 3))}
+    init_flow = jnp.zeros((2, S, S, 2))
+    init_feat = jnp.zeros((2, S, S, 4))
+    kw = dict(rng=jax.random.PRNGKey(3), latent_size=S, n_batch=2,
+              time_variant=True)
+    a = ddim_sample_loop(model_fn, sched, cond, init_flow, init_feat,
+                         unroll=True, **kw)
+    b = ddim_sample_loop(model_fn, sched, cond, init_flow, init_feat,
+                         unroll=False, **kw)
+    np.testing.assert_allclose(np.asarray(a.flow), np.asarray(b.flow),
+                               atol=1e-6)
 
 
 def test_ddim_loop_jits():
