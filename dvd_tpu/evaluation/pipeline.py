@@ -114,34 +114,47 @@ class DewarpPipeline:
             self.geotr_vars = jax.jit(self.geotr.init)(k4, img288)
 
     # ------------------------------------------------------------- adapter
-    def dit_fn(self, x, t, cond, *, init_flow, init_feat, seed_init_feat,
-               remap_timesteps):
-        """ModelFn adapter for the sampler."""
-        return self.dit.apply(
-            self.dit_vars, x, t,
-            y512=cond["y512"], mask_cat=cond.get("mask_cat"),
-            mask_y512=cond["mask_y512"], line_msk=cond["line_msk"],
-            init_flow=init_flow, init_feat=init_feat,
-            seed_init_feat=seed_init_feat, remap_timesteps=remap_timesteps,
-        )
+    def make_dit_fn(self, dit_vars):
+        """ModelFn adapter for the sampler.  ``dit_vars`` must be a traced
+        jit argument at the call site — closing over concrete variables
+        would bake ~10^8 weights into the HLO as literal constants (which
+        blows past remote-compile request limits and defeats the
+        persistent cache)."""
+
+        def dit_fn(x, t, cond, *, init_flow, init_feat, seed_init_feat,
+                   remap_timesteps):
+            return self.dit.apply(
+                dit_vars, x, t,
+                y512=cond["y512"], mask_cat=cond.get("mask_cat"),
+                mask_y512=cond["mask_y512"], line_msk=cond["line_msk"],
+                init_flow=init_flow, init_feat=init_feat,
+                seed_init_feat=seed_init_feat,
+                remap_timesteps=remap_timesteps,
+            )
+
+        return dit_fn
 
     # -------------------------------------------------------- conditioning
-    def build_conditioning(self, source512: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+    def conditioning_impl(self, aux_vars, source512: jnp.ndarray):
         """source512: (B, 512, 512, 3) float in [0, 1] -> conditioning dict
-        + zero-initialized recurrent state (reference evaluation.py:160-263)."""
+        + zero-initialized recurrent state (reference evaluation.py:160-263).
+
+        ``aux_vars = (seg_vars, line_vars, geotr_vars)`` passed as traced
+        arguments (see make_dit_fn note)."""
+        seg_vars, line_vars, geotr_vars = aux_vars
         s = self.cfg.model.image_size
         per = self.cfg.model.perception_size
         b = source512.shape[0]
         src288 = resize_bilinear(source512, (per, per), align_corners=True)
 
-        _, mask512 = self.geotr.apply(self.geotr_vars, src288)
+        _, mask512 = self.geotr.apply(geotr_vars, src288)
 
         mskx, _, hx6, hx5d, hx4d, hx3d, hx2d, hx1d = self.seg.apply(
-            self.seg_vars, src288)
+            seg_vars, src288)
         seg_map_all = seg_pyramid_to_latent(
             (hx6, hx5d, hx4d, hx3d, hx2d, hx1d), s)
 
-        line_feat, _ = self.line.apply(self.line_vars, mskx)
+        line_feat, _ = self.line.apply(line_vars, mskx)
         textline_map = resize_bilinear(line_feat, (s, s), align_corners=False)
 
         cond = {
@@ -154,46 +167,43 @@ class DewarpPipeline:
         init_feat = jnp.zeros((b, s, s, 256), jnp.float32)
         return cond, init_flow, init_feat
 
-    # ------------------------------------------------------------ sampling
+    def sampling_impl(self, dit_vars, cond, init_flow, init_feat, rng):
+        """Diffusion stage (conditioning precomputed)."""
+        result = ddim_sample_loop(
+            self.make_dit_fn(dit_vars), self.sched, cond, init_flow,
+            init_feat if self.cfg.model.time_variant else None,
+            rng=rng,
+            latent_size=self.cfg.model.image_size,
+            n_batch=self.cfg.diffusion.n_batch,
+            time_variant=bool(self.cfg.model.time_variant),
+            eta=self.cfg.diffusion.eta,
+            clip_denoised=self.cfg.diffusion.clip_denoised,
+        )
+        return result.flow
+
+    def build_conditioning(self, source512: jnp.ndarray):
+        return self.conditioning_impl(
+            (self.seg_vars, self.line_vars, self.geotr_vars), source512)
+
     def dewarp_flow(self, source512: jnp.ndarray, rng: jax.Array) -> jnp.ndarray:
         """(B, 512, 512, 3) [0,1] -> (B, S, S, 2) offset field in [-1, 1]."""
         cond, init_flow, init_feat = self.build_conditioning(source512)
-        result = ddim_sample_loop(
-            self.dit_fn, self.sched, cond, init_flow,
-            init_feat if self.cfg.model.time_variant else None,
-            rng=rng,
-            latent_size=self.cfg.model.image_size,
-            n_batch=self.cfg.diffusion.n_batch,
-            time_variant=bool(self.cfg.model.time_variant),
-            eta=self.cfg.diffusion.eta,
-            clip_denoised=self.cfg.diffusion.clip_denoised,
-        )
-        return result.flow
-
-    def jitted_dewarp_flow(self):
-        return jax.jit(self.dewarp_flow)
-
-    def sample_from_conditioning(self, cond, init_flow, init_feat, rng):
-        """Diffusion stage only (conditioning precomputed)."""
-        result = ddim_sample_loop(
-            self.dit_fn, self.sched, cond, init_flow,
-            init_feat if self.cfg.model.time_variant else None,
-            rng=rng,
-            latent_size=self.cfg.model.image_size,
-            n_batch=self.cfg.diffusion.n_batch,
-            time_variant=bool(self.cfg.model.time_variant),
-            eta=self.cfg.diffusion.eta,
-            clip_denoised=self.cfg.diffusion.clip_denoised,
-        )
-        return result.flow
+        return self.sampling_impl(self.dit_vars, cond, init_flow, init_feat, rng)
 
     def jitted_stages(self):
-        """Separately-jitted (conditioning, sampling) stages.  Smaller
-        compile units than the fused ``dewarp_flow`` — required under
-        remote-compile request-size limits and friendlier to the
-        persistent compilation cache."""
-        cond_fn = jax.jit(self.build_conditioning)
-        sample_fn = jax.jit(self.sample_from_conditioning)
+        """Separately-jitted (conditioning, sampling) stages with model
+        variables as runtime arguments.  Returns callables bound to this
+        pipeline's current variables."""
+        cond_jit = jax.jit(self.conditioning_impl)
+        sample_jit = jax.jit(self.sampling_impl)
+
+        def cond_fn(source512):
+            return cond_jit((self.seg_vars, self.line_vars, self.geotr_vars),
+                            source512)
+
+        def sample_fn(cond, init_flow, init_feat, rng):
+            return sample_jit(self.dit_vars, cond, init_flow, init_feat, rng)
+
         return cond_fn, sample_fn
 
 

@@ -279,6 +279,36 @@ class GeoTrSegInf(nn.Module):
         return bm, msk_up
 
 
+class GeoTrSeg(nn.Module):
+    """Training-time wrapper (geotr_core.py:962-982): *hard* 0.5-threshold
+    mask (vs the soft mask of GeoTrSegInf) applied to the image before
+    GeoTr."""
+
+    mask_size: int = 512
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray):
+        msk, *_ = U2NetP(1, self.dtype, name="msk")(x)
+        hard = (msk > 0.5).astype(x.dtype)
+        x = hard * x
+        msk_up = resize_bilinear(hard, (self.mask_size, self.mask_size),
+                                 align_corners=True)
+        bm = GeoTr(6, 256, self.dtype, name="GeoTr")(x)
+        return bm, msk_up
+
+
+class GeoTrSegWoMask(nn.Module):
+    """Mask-free variant (geotr_core.py:1021-1040)."""
+
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray):
+        bm = GeoTr(6, 256, self.dtype, name="GeoTr")(x)
+        return bm, None
+
+
 class GeoTr2(nn.Module):
     """DocTr-as-denoiser (train_mode='stage_1_doctr',
     geotr_core.py:612-685): consumes [src_feat(64) ++ x(2) ++ init_flow(2)]

@@ -39,9 +39,21 @@ def layer_norm(x: jnp.ndarray, eps: float = 1e-6) -> jnp.ndarray:
 def scaled_dot_attention(
     q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, scale: Optional[float] = None
 ) -> jnp.ndarray:
-    """(N, H, Tq, Dh) x (N, H, Tk, Dh) attention, softmax in fp32."""
+    """(N, H, Tq, Dh) x (N, H, Tk, Dh) attention, softmax in fp32.
+
+    On TPU this dispatches to the fused Pallas kernel
+    (:mod:`dvd_tpu.ops.pallas.attention`) — single pass, logits never
+    leave VMEM — with an analytic jnp VJP for the training path.  The
+    jnp formulation below is the reference (and the CPU/GPU path).
+    """
     dh = q.shape[-1]
     scale = scale if scale is not None else 1.0 / math.sqrt(dh)
+
+    from dvd_tpu.ops.pallas.attention import attention, use_fused_attention
+
+    if use_fused_attention(q.shape, k.shape):
+        return attention(q, k, v, scale)
+
     logits = jnp.einsum("nhqd,nhkd->nhqk", q, k, precision=jax.lax.Precision.DEFAULT)
     logits = logits.astype(jnp.float32) * scale
     probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)

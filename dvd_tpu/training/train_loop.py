@@ -38,23 +38,27 @@ from dvd_tpu.training.train_state import (create_train_state, make_optimizer,
 from dvd_tpu.utils.logger import KVLogger, log_loss_quartiles
 
 
-def build_device_batch(pipe: DewarpPipeline, raw: Dict[str, jnp.ndarray],
+def build_device_batch(pipe: DewarpPipeline, aux_vars,
+                       raw: Dict[str, jnp.ndarray],
                        latent: int) -> Dict[str, jnp.ndarray]:
     """Host batch -> conditioning + normalized flow targets (all NHWC).
 
     raw: source_image (B,512,512,3) [0,1], doc_mask (B,512,512,1),
          flow_map / flow_map_inter (B,512,512,2) absolute offsets.
+    ``aux_vars = (seg_vars, line_vars)`` must be traced jit arguments (not
+    closure constants) to keep the HLO weight-free.
     """
+    seg_vars, line_vars = aux_vars
     per = pipe.cfg.model.perception_size
     src = raw["source_image"]
     h = src.shape[1]
     src288 = resize_bilinear(src, (per, per), align_corners=True)
 
     mskx, _, hx6, hx5d, hx4d, hx3d, hx2d, hx1d = pipe.seg.apply(
-        pipe.seg_vars, src288)
+        seg_vars, src288)
     seg_map_all = seg_pyramid_to_latent((hx6, hx5d, hx4d, hx3d, hx2d, hx1d),
                                         latent)
-    line_feat, _ = pipe.line.apply(pipe.line_vars, mskx)
+    line_feat, _ = pipe.line.apply(line_vars, mskx)
     line_msk = resize_bilinear(line_feat, (latent, latent), align_corners=False)
 
     scale = jnp.asarray([h - 1.0, h - 1.0], jnp.float32)
@@ -108,7 +112,9 @@ def train(cfg: DvDConfig, data_iter: Iterator[Dict[str, np.ndarray]],
         state.ema_params = jax.tree.map(jax.device_put, state.ema_params, psh)
         batch_sh = NamedSharding(mesh, P("data"))
 
-        prep = jax.jit(lambda raw: build_device_batch(pipe, raw, latent))
+        prep_jit = jax.jit(
+            lambda aux, raw: build_device_batch(pipe, aux, raw, latent))
+        prep = lambda raw: prep_jit((pipe.seg_vars, pipe.line_vars), raw)
         step_fn = jax.jit(train_step, donate_argnums=(0,))
 
         rng = jax.random.PRNGKey(cfg.train.seed)

@@ -45,6 +45,9 @@ def main(argv=None):
     ap.add_argument("--eval_dataset", default=None)
     ap.add_argument("--eval_dataset_name", default=None)
     ap.add_argument("--batch", type=int, default=None)
+    ap.add_argument("--image", default=None,
+                    help="dewarp a single image file instead of a dataset")
+    ap.add_argument("--out", default=None, help="output path for --image")
     args = ap.parse_args(argv)
 
     from dvd_tpu.config import default_config
@@ -65,14 +68,119 @@ def main(argv=None):
 
     import jax
 
-    from dvd_tpu.evaluation.driver import run_from_config
     from dvd_tpu.utils import runtime
 
     runtime.enable_compilation_cache()
+
+    if args.image:
+        import os
+
+        if not os.path.isfile(args.image):
+            ap.error(f"--image: no such file: {args.image}")
+        dewarp_single_image(cfg, args.image,
+                            args.out or _default_out(args.image), args.seed)
+        return
+
+    from dvd_tpu.evaluation.driver import run_from_config
+
+    if args.corruption:
+        run_corruption_sweep(cfg, args)
+        return
+
     stats = run_from_config(cfg, rng=jax.random.PRNGKey(args.seed))
     print(f"Elapsed: {stats['images']} images, "
           f"{stats['imgs_per_sec']} imgs/sec "
           f"(compile {stats['compile_seconds']}s)")
+
+
+def _default_out(image_path):
+    import os
+
+    base = os.path.basename(image_path)
+    return os.path.join("vis_hp", "single", f"warped_{base}")
+
+
+def dewarp_single_image(cfg, image_path, out_path, seed):
+    """Reference config #1: single-image dewarp -> PNG + coord map."""
+    import os
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from PIL import Image
+
+    from dvd_tpu.evaluation.pipeline import DewarpPipeline, unwarp_fixed
+    from dvd_tpu.training.checkpoint import maybe_load_pipeline_weights
+
+    pipe = DewarpPipeline.create(cfg, rng=jax.random.PRNGKey(seed))
+    maybe_load_pipeline_weights(pipe, cfg)
+
+    ori = np.asarray(Image.open(image_path).convert("RGB"))
+    s = cfg.model.source_size
+    src = np.asarray(Image.fromarray(ori).resize((s, s), Image.BILINEAR),
+                     np.float32)[None] / 255.0
+
+    cond_fn, sample_fn = pipe.jitted_stages()
+    cond, init_flow, init_feat = cond_fn(jnp.asarray(src))
+    flow = sample_fn(cond, init_flow, init_feat, jax.random.PRNGKey(seed))
+    out = unwarp_fixed(jnp.asarray(ori, jnp.float32)[None], flow)
+
+    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+    Image.fromarray(np.clip(np.asarray(out)[0], 0, 255).astype(np.uint8)
+                    ).save(out_path)
+    np.save(out_path + ".coords.npy", np.asarray(flow)[0])
+    print(f"wrote {out_path} (+ .coords.npy)")
+
+
+def run_corruption_sweep(cfg, args):
+    """Reference run_sampling.py:52-58: severities x corruption ids."""
+    import dataclasses
+
+    import jax
+
+    from dvd_tpu.data.benchmark import BenchmarkDataset
+    from dvd_tpu.data.corruptions import CORRUPTIONS, corrupt
+    from dvd_tpu.evaluation.driver import run_benchmark
+    from dvd_tpu.evaluation.pipeline import DewarpPipeline
+    from dvd_tpu.training.checkpoint import maybe_load_pipeline_weights
+
+    names = sorted(CORRUPTIONS) if args.corruption == "all" \
+        else [args.corruption]
+    unknown = [n for n in names if n not in CORRUPTIONS]
+    if unknown:
+        raise SystemExit(
+            f"unknown corruption(s) {unknown}; valid: {sorted(CORRUPTIONS)}")
+    severities = [1, 2, 3, 4, 5]
+
+    pipe = DewarpPipeline.create(cfg, rng=jax.random.PRNGKey(args.seed))
+    maybe_load_pipeline_weights(pipe, cfg)
+
+    base_ds = BenchmarkDataset.from_dir(cfg.data.eval_dataset,
+                                        source_size=cfg.model.source_size)
+    import os
+
+    import numpy as np
+
+    for name in names:
+        for sev in severities:
+            class CorruptedDS(BenchmarkDataset):
+                def __getitem__(self, i, _n=name, _s=sev):
+                    item = super().__getitem__(i)
+                    item["source_image"] = corrupt(item["source_image"], _n, _s)
+                    pad = item["source_padded"].astype(np.float32) / 255.0
+                    pad = (corrupt(pad, _n, _s) * 255).astype(np.uint8)
+                    item["source_padded"] = pad
+                    return item
+
+            ds = CorruptedDS(paths=base_ds.paths,
+                             source_size=cfg.model.source_size)
+            out_dir = os.path.join("vis_hp", cfg.data.eval_dataset_name,
+                                   f"{cfg.name}_corrupt_{name}_s{sev}")
+            stats = run_benchmark(pipe, ds, out_dir,
+                                  batch_size=cfg.data.eval_device_batch,
+                                  rng=jax.random.PRNGKey(args.seed))
+            print(f"{name} s{sev}: {stats['imgs_per_sec']} imgs/sec, "
+                  f"{stats['images']} images")
 
 
 if __name__ == "__main__":
