@@ -21,7 +21,8 @@ import time
 
 REFERENCE_IMGS_PER_SEC = 1.0
 BATCH = 8
-ITERS = 5
+WARMUP = 3
+ITERS = 15
 
 
 def main():
@@ -50,8 +51,10 @@ def main():
     src = jax.random.uniform(jax.random.PRNGKey(1), (BATCH, 512, 512, 3))
     rng = jax.random.PRNGKey(2)
 
-    # warmup / compile
-    run(src, rng)[0].block_until_ready()
+    # warmup / compile (incl. steady-state dispatch pipelining)
+    for i in range(WARMUP):
+        out = run(src, jax.random.fold_in(rng, 1000 + i))
+    out.block_until_ready()
 
     t0 = time.perf_counter()
     for i in range(ITERS):

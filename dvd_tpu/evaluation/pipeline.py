@@ -76,9 +76,13 @@ class DewarpPipeline:
             respacing=cfg.diffusion.timestep_respacing,
             rescale_timesteps=cfg.diffusion.rescale_timesteps,
         )
-        pipe = cls(cfg=cfg, dit=dit, seg=Seg(mask_size=m.source_size),
-                   line=TextLineUNet(),
-                   geotr=GeoTrSegInf(mask_size=m.source_size), sched=sched)
+        cdt = jnp.dtype(m.compute_dtype) if m.compute_dtype != "float32" \
+            else jnp.float32
+        pipe = cls(cfg=cfg, dit=dit,
+                   seg=Seg(mask_size=m.source_size, dtype=cdt),
+                   line=TextLineUNet(dtype=cdt),
+                   geotr=GeoTrSegInf(mask_size=m.source_size, dtype=cdt),
+                   sched=sched)
         if rng is not None:
             pipe.init_params(rng, init_aux=init_aux)
         return pipe
