@@ -1,7 +1,16 @@
 """Training losses for the coordinate-denoising diffusion.
 
-The reference carries four loss variants (``gaussian_diffusion.py:833-1102``);
-two are live from the entry points and implemented here:
+The reference carries four loss variants (``gaussian_diffusion.py:833-1102``).
+Variant map:
+
+- ``training_losses_time_variant`` (``:890-1006``) -> :func:`time_variant_loss`
+- ``training_losses_new_dit``       (``:1009-1059``) -> :func:`composed_warp_loss`
+- ``training_losses_new``           (``:833-882``)  -> :func:`composed_warp_loss`
+  (same composed masked MSE; the only deltas are the UNet-era scaled
+  timesteps and kwargs-carried init states, both handled by the caller)
+- ``training_losses``               (``:1062-1102``) -> :func:`plain_masked_mse`
+
+The two live-from-entry-point paths:
 
 - :func:`time_variant_loss` — the production path (``iter=True``,
   ``training_losses_time_variant``, ``:890-1006``): per-sample partial DDIM
