@@ -27,10 +27,24 @@ def leading_int(name: str) -> Optional[int]:
     return int(m.group(1)) if m else None
 
 
-def main(argv=None):
-    import numpy as np
+def _eval_one(job):
+    """(pred_path, gt_path, name, area, backend) -> metric row.
+    Top-level so a spawn-context process pool can pickle it."""
+    import cv2
 
     from dvd_tpu.evaluation import metrics as M
+
+    pred_path, gt_path, name, area, backend = job
+    pred = cv2.imread(pred_path)[:, :, ::-1]
+    gt = cv2.imread(gt_path)[:, :, ::-1]
+    row = M.evaluate_pair(pred, gt, protocol_area=area,
+                          flow_backend=backend)
+    row["file"] = name
+    return row
+
+
+def main(argv=None):
+    import numpy as np
 
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--pred", required=True)
@@ -38,9 +52,13 @@ def main(argv=None):
     ap.add_argument("--out", default=None)
     ap.add_argument("--area", type=float, default=598400.0,
                     help="protocol resize area (run_docunet.m:14); 0 disables")
+    ap.add_argument("--workers", type=int, default=8,
+                    help="parallel evaluation processes (the MATLAB "
+                         "reference uses parfor(8), run_benchmark.m:4)")
+    ap.add_argument("--flow_backend", default="auto",
+                    choices=("auto", "native", "dis"),
+                    help="dense-registration engine for LD/AD")
     a = ap.parse_args(argv)
-
-    import cv2
 
     gt_index = {}
     for f in os.listdir(a.gt):
@@ -48,7 +66,7 @@ def main(argv=None):
         if k is not None:
             gt_index.setdefault(k, os.path.join(a.gt, f))
 
-    rows = []
+    jobs = []
     for f in sorted(os.listdir(a.pred)):
         if not f.lower().endswith((".png", ".jpg", ".jpeg")):
             continue
@@ -56,12 +74,20 @@ def main(argv=None):
         if k is None or k not in gt_index:
             print(f"skip {f}: no GT match")
             continue
-        pred = cv2.imread(os.path.join(a.pred, f))[:, :, ::-1]
-        gt = cv2.imread(gt_index[k])[:, :, ::-1]
-        r = M.evaluate_pair(pred, gt, protocol_area=a.area or None)
-        r["file"] = f
-        rows.append(r)
-        print(f"{f}: ms_ssim={r['ms_ssim']:.4f} ld={r['ld']:.3f} ad={r['ad']:.4f}")
+        jobs.append((os.path.join(a.pred, f), gt_index[k], f,
+                     a.area or None, a.flow_backend))
+
+    rows = []
+    if a.workers > 1 and len(jobs) > 1:
+        import multiprocessing as mp
+
+        with mp.get_context("spawn").Pool(min(a.workers, len(jobs))) as pool:
+            rows = pool.map(_eval_one, jobs)
+    else:
+        rows = [_eval_one(j) for j in jobs]
+    for r in rows:
+        print(f"{r['file']}: ms_ssim={r['ms_ssim']:.4f} "
+              f"ld={r['ld']:.3f} ad={r['ad']:.4f}")
 
     if not rows:
         raise SystemExit("no evaluable pairs found")

@@ -103,13 +103,30 @@ def _downsample2(img: np.ndarray) -> np.ndarray:
     return (img[0::2, 0::2] + img[1::2, 0::2] + img[0::2, 1::2] + img[1::2, 1::2]) / 4.0
 
 
-def dense_registration_flow(rectified: np.ndarray, gt: np.ndarray) -> np.ndarray:
-    """Dense flow gt -> rectified, (H, W, 2).  SIFTflow stand-in using
-    OpenCV DIS optical flow on gradient-normalized grayscale."""
-    if cv2 is None:
-        raise RuntimeError("cv2 required for LD/AD")
+def dense_registration_flow(rectified: np.ndarray, gt: np.ndarray,
+                            backend: str = "auto") -> np.ndarray:
+    """Dense flow gt -> rectified, (H, W, 2).
+
+    backend="native" uses the in-tree C++ dense-descriptor coarse-to-fine
+    engine (``dvd_tpu.native.sift_flow`` — the framework's replacement for
+    the external SIFTflow mex toolbox the MATLAB metrics require);
+    "dis" uses OpenCV DIS optical flow; "auto" prefers native and falls
+    back to DIS.
+    """
     g1 = _to_gray(gt).astype(np.float32)
     g2 = _to_gray(rectified).astype(np.float32)
+
+    if backend in ("auto", "native"):
+        from dvd_tpu import native
+
+        if native.available():
+            return native.sift_flow(g1, g2)
+        if backend == "native":
+            raise RuntimeError(
+                f"native siftflow unavailable: {native.build_error()}")
+
+    if cv2 is None:
+        raise RuntimeError("cv2 required for the DIS fallback")
     # local contrast normalization stabilizes registration on documents
     norm = lambda g: cv2.GaussianBlur(g, (0, 0), 1.0)
     g1 = cv2.normalize(norm(g1), None, 0, 255, cv2.NORM_MINMAX).astype(np.uint8)
@@ -118,16 +135,18 @@ def dense_registration_flow(rectified: np.ndarray, gt: np.ndarray) -> np.ndarray
     return dis.calc(g1, g2, None)
 
 
-def local_distortion(rectified: np.ndarray, gt: np.ndarray) -> float:
+def local_distortion(rectified: np.ndarray, gt: np.ndarray,
+                     backend: str = "auto") -> float:
     """LD: mean registration-flow magnitude (evalUnwarp's second output)."""
-    flow = dense_registration_flow(rectified, gt)
+    flow = dense_registration_flow(rectified, gt, backend)
     return float(np.sqrt((flow**2).sum(-1)).mean())
 
 
-def aligned_distortion(rectified: np.ndarray, gt: np.ndarray) -> float:
+def aligned_distortion(rectified: np.ndarray, gt: np.ndarray,
+                       backend: str = "auto") -> float:
     """AD: remove the global mean displacement, weight residual flow
     magnitude by GT gradient energy (evalAlignedUnwarp behavior)."""
-    flow = dense_registration_flow(rectified, gt)
+    flow = dense_registration_flow(rectified, gt, backend)
     flow = flow - flow.mean(axis=(0, 1), keepdims=True)
     g = _to_gray(gt)
     gy, gx = np.gradient(g)
@@ -148,15 +167,23 @@ def resize_keep_ar(img: np.ndarray, target_area: float = 598400.0) -> np.ndarray
 
 
 def evaluate_pair(rectified: np.ndarray, gt: np.ndarray,
-                  protocol_area: Optional[float] = 598400.0) -> dict:
+                  protocol_area: Optional[float] = 598400.0,
+                  flow_backend: str = "auto") -> dict:
     """Full per-image metric set (MS-SSIM, LD, AD) under the DocUNet
     protocol: both images resized to the same fixed area, rectified then
     matched to GT's exact size."""
     if protocol_area:
         gt = resize_keep_ar(gt, protocol_area)
     rectified = cv2.resize(rectified, (gt.shape[1], gt.shape[0]))
+    flow = dense_registration_flow(rectified, gt, flow_backend)
+    mag = np.sqrt((flow**2).sum(-1))
+    centered = flow - flow.mean(axis=(0, 1), keepdims=True)
+    g = _to_gray(gt)
+    gy, gx = np.gradient(g)
+    wgt = np.sqrt(gx**2 + gy**2)
+    wgt = wgt / max(wgt.sum(), 1e-9)
     return {
         "ms_ssim": ms_ssim(rectified, gt),
-        "ld": local_distortion(rectified, gt),
-        "ad": aligned_distortion(rectified, gt),
+        "ld": float(mag.mean()),
+        "ad": float((np.sqrt((centered**2).sum(-1)) * wgt).sum()),
     }
