@@ -44,13 +44,41 @@ def run_benchmark(
     rng: Optional[jax.Array] = None,
     save_outputs: bool = True,
     save_coord_maps: bool = False,
+    mesh=None,
 ) -> Dict[str, float]:
+    """``mesh``: optional ``jax.sharding.Mesh`` with a ``data`` axis for
+    multi-chip data-parallel serving (params replicated, batch sharded —
+    XLA lays the collectives on ICI).  ``mesh="auto"`` builds a 1-D data
+    mesh over all visible devices when there is more than one and the
+    batch divides them."""
     rng = rng if rng is not None else jax.random.PRNGKey(0)
     pred_dir = os.path.join(out_dir, "dewarped_pred")
     os.makedirs(pred_dir, exist_ok=True)
 
+    if mesh == "auto":
+        from dvd_tpu.parallel.mesh import make_mesh
+
+        ndev = jax.device_count()
+        mesh = make_mesh(model=1) if (
+            ndev > 1 and batch_size % ndev == 0) else None
+
+    put_batch = jnp.asarray
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        replicated = NamedSharding(mesh, P())
+        batch_sh = NamedSharding(mesh, P("data"))
+        for attr in ("dit_vars", "seg_vars", "line_vars", "geotr_vars"):
+            setattr(pipe, attr, jax.tree.map(
+                lambda x: jax.device_put(x, replicated), getattr(pipe, attr)))
+        put_batch = lambda x: jax.device_put(jnp.asarray(x), batch_sh)
+
     cond_fn, sample_fn = pipe.jitted_stages()
     unwarp = jax.jit(unwarp_native)
+    # the 2048^2-canvas unwarp costs ~2 GB HBM of gather intermediates per
+    # image — chunk it (one image per device) so peak memory is bounded
+    # regardless of batch size (observed 16.9G/15.75G OOM at batch 8)
+    unwarp_chunk = mesh.shape["data"] if mesh is not None else 2
 
     def dewarp(src, step_rng):
         cond, init_flow, init_feat = cond_fn(src)
@@ -60,15 +88,20 @@ def run_benchmark(
     compile_time = 0.0
     t_start = None
     for bi, batch in enumerate(dataset.batches(batch_size)):
-        src = jnp.asarray(batch["source_image"])
-        padded = jnp.asarray(batch["source_padded"], jnp.float32)
-        hw = jnp.asarray(batch["hw"])
+        src = put_batch(batch["source_image"])
+        padded = put_batch(np.asarray(batch["source_padded"], np.float32))
+        hw = put_batch(batch["hw"])
 
         step_rng = jax.random.fold_in(rng, bi)
         t0 = time.perf_counter()
         flow = dewarp(src, step_rng)
-        out = unwarp(padded, hw, flow)
-        out = np.asarray(out)
+        b = padded.shape[0]
+        out = np.concatenate([
+            np.asarray(unwarp(padded[s:s + unwarp_chunk],
+                              hw[s:s + unwarp_chunk],
+                              flow[s:s + unwarp_chunk]))
+            for s in range(0, b, unwarp_chunk)
+        ])
         if bi == 0:
             # first batch pays compilation; exclude from throughput
             compile_time = time.perf_counter() - t0
@@ -110,4 +143,5 @@ def run_from_config(cfg: DvDConfig, rng: Optional[jax.Array] = None
                                    source_size=cfg.model.source_size)
     out_dir = os.path.join("vis_hp", cfg.data.eval_dataset_name, cfg.name)
     return run_benchmark(pipe, ds, out_dir,
-                         batch_size=cfg.data.eval_device_batch, rng=rng)
+                         batch_size=cfg.data.eval_device_batch, rng=rng,
+                         mesh="auto")

@@ -1,0 +1,63 @@
+"""Benchmark driver on an 8-device data mesh (virtual CPU devices):
+sharded serving must produce the same outputs as single-device."""
+
+import os
+
+import jax
+import numpy as np
+import pytest
+from PIL import Image
+
+from dvd_tpu.config import default_config
+from dvd_tpu.data.benchmark import BenchmarkDataset
+from dvd_tpu.evaluation.driver import run_benchmark
+from dvd_tpu.evaluation.pipeline import DewarpPipeline
+from dvd_tpu.parallel.mesh import make_mesh
+
+
+@pytest.fixture(scope="module")
+def tiny_pipe():
+    cfg = default_config().replace(
+        model={"image_size": 16, "source_size": 128, "perception_size": 64,
+               "compute_dtype": "float32"},
+        diffusion={"n_batch": 2},
+    )
+    pipe = DewarpPipeline.create(cfg)
+    from dvd_tpu.models.dit import DiT
+
+    pipe.dit = DiT(input_size=16, patch_size=2, in_channels=2,
+                   hidden_size=48, depth=2, num_heads=3, tv=True,
+                   chain_blocks=False)
+    pipe.init_params(jax.random.PRNGKey(0))
+    return pipe
+
+
+@pytest.fixture(scope="module")
+def image_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("bench_imgs")
+    rng = np.random.RandomState(0)
+    for i in range(8):
+        arr = (rng.rand(96 + 8 * (i % 3), 120, 3) * 255).astype(np.uint8)
+        Image.fromarray(arr).save(d / f"img_{i}.png")
+    return str(d)
+
+
+def test_sharded_matches_single_device(tiny_pipe, image_dir, tmp_path):
+    assert jax.device_count() == 8
+    ds = BenchmarkDataset.from_dir(image_dir, source_size=128)
+
+    stats1 = run_benchmark(tiny_pipe, ds, str(tmp_path / "single"),
+                           batch_size=8, rng=jax.random.PRNGKey(3),
+                           save_coord_maps=True)
+    mesh = make_mesh(model=1)
+    stats8 = run_benchmark(tiny_pipe, ds, str(tmp_path / "sharded"),
+                           batch_size=8, rng=jax.random.PRNGKey(3),
+                           save_coord_maps=True, mesh=mesh)
+    assert stats1["images"] == stats8["images"] == 8
+
+    for f in sorted(os.listdir(tmp_path / "single" / "dewarped_pred")):
+        if not f.endswith(".npy"):
+            continue
+        a = np.load(tmp_path / "single" / "dewarped_pred" / f)
+        b = np.load(tmp_path / "sharded" / "dewarped_pred" / f)
+        np.testing.assert_allclose(a, b, atol=1e-5, rtol=1e-5)
