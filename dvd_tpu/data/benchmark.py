@@ -41,8 +41,31 @@ def list_benchmark_images(root: str) -> List[str]:
 class BenchmarkDataset:
     paths: Sequence[str]
     source_size: int = 512
-    pad_to: int = 2048          # canvas for native-size unwarp
+    pad_to: int = 0             # canvas for native-size unwarp; 0 = fit
     max_side: Optional[int] = None  # optionally downscale huge originals
+
+    def __post_init__(self):
+        if not self.pad_to:
+            self.pad_to = self._fit_canvas()
+
+    def _fit_canvas(self) -> int:
+        """Smallest multiple-of-256 canvas covering every image (read from
+        headers only).  A fixed 2048 canvas makes the unwarp and its D2H
+        transfer pay for the largest possible image on every batch —
+        sizing to the dataset is a large win for small-image benchmarks."""
+        from PIL import Image
+
+        m = 256
+        for p in self.paths:
+            try:
+                with Image.open(p) as im:
+                    m = max(m, *im.size)
+            except OSError:
+                continue
+        m = min(m, 2048)
+        if self.max_side:
+            m = min(m, self.max_side)
+        return -(-m // 256) * 256
 
     @classmethod
     def from_dir(cls, root: str, **kw) -> "BenchmarkDataset":

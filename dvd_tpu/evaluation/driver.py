@@ -45,6 +45,7 @@ def run_benchmark(
     save_outputs: bool = True,
     save_coord_maps: bool = False,
     mesh=None,
+    profile_dir: Optional[str] = None,
 ) -> Dict[str, float]:
     """``mesh``: optional ``jax.sharding.Mesh`` with a ``data`` axis for
     multi-chip data-parallel serving (params replicated, batch sharded —
@@ -74,52 +75,128 @@ def run_benchmark(
         put_batch = lambda x: jax.device_put(jnp.asarray(x), batch_sh)
 
     cond_fn, sample_fn = pipe.jitted_stages()
-    unwarp = jax.jit(unwarp_native)
-    # the 2048^2-canvas unwarp costs ~2 GB HBM of gather intermediates per
-    # image — chunk it (one image per device) so peak memory is bounded
-    # regardless of batch size (observed 16.9G/15.75G OOM at batch 8)
-    unwarp_chunk = mesh.shape["data"] if mesh is not None else 2
+
+    # uint8 on the wire in both directions: host<->device copies ride a
+    # tunnel here, so fp32 canvases are 4x the bytes for nothing
+    unwarp = jax.jit(lambda p, hw, f: jnp.clip(jnp.round(
+        unwarp_native(p.astype(jnp.float32), hw, f)), 0.0, 255.0
+    ).astype(jnp.uint8))
+    # the native unwarp costs ~P^2 * 500 bytes of gather intermediates per
+    # image (2048^2 -> ~2.1 GB; 16.9G/15.75G OOM observed at batch 8).
+    # Chunk adaptively: as few dispatches as fit a ~3.5 GB budget — each
+    # extra dispatch costs ~200 ms of tunnel latency.  Under a mesh the
+    # chunk must stay a multiple of the data-axis size.
+    p = dataset.pad_to
+    unwarp_chunk = max(1, min(batch_size, int(3.5e9 / (p * p * 500))))
+    if mesh is not None:
+        ndev = mesh.shape["data"]
+        unwarp_chunk = max(ndev, unwarp_chunk // ndev * ndev)
 
     def dewarp(src, step_rng):
         cond, init_flow, init_feat = cond_fn(src)
         return sample_fn(cond, init_flow, init_feat, step_rng)
 
+    # overlap host work with device compute: dataset batches are produced
+    # by a background thread (cv2 decode + padding), and PNG encoding runs
+    # on a writer pool so it never blocks the next dispatch
+    import queue
+    import threading
+    from concurrent.futures import ThreadPoolExecutor
+
+    batch_q: "queue.Queue" = queue.Queue(maxsize=2)
+
+    def _producer():
+        for item in dataset.batches(batch_size):
+            batch_q.put(item)
+        batch_q.put(None)
+
+    threading.Thread(target=_producer, daemon=True).start()
+
+    def _batches():
+        while True:
+            item = batch_q.get()
+            if item is None:
+                return
+            yield item
+
+    writer = ThreadPoolExecutor(max_workers=4)
+    pending = []
+
+    def drain(inflight):
+        """Pull one batch's device results to host and queue the writes."""
+        nonlocal n_done
+        outs_dev, flow_dev, batch = inflight
+        out = np.concatenate([np.asarray(o) for o in outs_dev])
+        flow_np = np.asarray(flow_dev)
+        for j in range(batch["count"]):
+            name = os.path.basename(batch["paths"][j])
+            h, w = batch["hw"][j]
+            if save_outputs:
+                pending.append(writer.submit(
+                    save_png, os.path.join(pred_dir, f"warped_{name}"),
+                    out[j, :h, :w]))
+            if save_coord_maps:
+                pending.append(writer.submit(
+                    np.save, os.path.join(pred_dir, f"coord_{name}.npy"),
+                    flow_np[j]))
+        n_done += batch["count"]
+
     n_done = 0
     compile_time = 0.0
     t_start = None
-    for bi, batch in enumerate(dataset.batches(batch_size)):
-        src = put_batch(batch["source_image"])
-        padded = put_batch(np.asarray(batch["source_padded"], np.float32))
+    inflight = None                 # one batch stays on device while the
+    for bi, batch in enumerate(_batches()):   # next one is dispatched
+        # uint8 on the wire (tunnel H2D ~80 MB/s); normalize on device
+        src_u8 = put_batch(
+            np.clip(np.asarray(batch["source_image"]) * 255.0 + 0.5,
+                    0, 255).astype(np.uint8))
+        src = src_u8.astype(jnp.float32) / 255.0
+        padded = put_batch(batch["source_padded"])
         hw = put_batch(batch["hw"])
 
         step_rng = jax.random.fold_in(rng, bi)
         t0 = time.perf_counter()
         flow = dewarp(src, step_rng)
         b = padded.shape[0]
-        out = np.concatenate([
-            np.asarray(unwarp(padded[s:s + unwarp_chunk],
-                              hw[s:s + unwarp_chunk],
-                              flow[s:s + unwarp_chunk]))
+        outs_dev = [
+            unwarp(padded[s:s + unwarp_chunk], hw[s:s + unwarp_chunk],
+                   flow[s:s + unwarp_chunk])
             for s in range(0, b, unwarp_chunk)
-        ])
+        ]
         if bi == 0:
+            jax.block_until_ready(outs_dev)
             # first batch pays compilation; exclude from throughput
             compile_time = time.perf_counter() - t0
             t_start = time.perf_counter()
+            if profile_dir:
+                # trace steady-state only: tracing across the remote
+                # compile hangs the axon tunnel
+                jax.profiler.start_trace(profile_dir)
 
-        flow_np = np.asarray(flow)
-        for j in range(batch["count"]):
-            name = os.path.basename(batch["paths"][j])
-            h, w = batch["hw"][j]
-            if save_outputs:
-                save_png(os.path.join(pred_dir, f"warped_{name}"),
-                         out[j, :h, :w])
-            if save_coord_maps:
-                np.save(os.path.join(pred_dir, f"coord_{name}.npy"), flow_np[j])
-        n_done += batch["count"]
+        if inflight is not None:
+            drain(inflight)
+        inflight = (outs_dev, flow, batch)
 
-    total = time.perf_counter() - (t_start or time.perf_counter())
-    n_timed = max(n_done - batch_size, 1)
+    if inflight is not None:
+        drain(inflight)
+
+    for fut in pending:          # surface writer errors before reporting
+        fut.result()
+    writer.shutdown()
+    t_end = time.perf_counter()
+
+    if profile_dir:
+        jax.profiler.stop_trace()   # trace dump is NOT part of throughput
+        print(f"profiler trace written to {profile_dir}")
+
+    if n_done > batch_size:
+        # steady state: exclude the compile-paying first batch
+        total = t_end - (t_start or t_end)
+        n_timed = n_done - batch_size
+    else:
+        # single-batch run: the compile batch is all there is
+        total = compile_time
+        n_timed = n_done
     stats = {
         "images": n_done,
         "seconds_total": round(total, 3),
@@ -131,8 +208,8 @@ def run_benchmark(
     return stats
 
 
-def run_from_config(cfg: DvDConfig, rng: Optional[jax.Array] = None
-                    ) -> Dict[str, float]:
+def run_from_config(cfg: DvDConfig, rng: Optional[jax.Array] = None,
+                    profile_dir: Optional[str] = None) -> Dict[str, float]:
     """CLI-facing entry: build pipeline + dataset from config, run."""
     pipe = DewarpPipeline.create(cfg, rng=jax.random.PRNGKey(cfg.train.seed))
     # load converted checkpoints when present
@@ -144,4 +221,4 @@ def run_from_config(cfg: DvDConfig, rng: Optional[jax.Array] = None
     out_dir = os.path.join("vis_hp", cfg.data.eval_dataset_name, cfg.name)
     return run_benchmark(pipe, ds, out_dir,
                          batch_size=cfg.data.eval_device_batch, rng=rng,
-                         mesh="auto")
+                         mesh="auto", profile_dir=profile_dir)

@@ -151,7 +151,7 @@ class DewarpPipeline:
         b = source512.shape[0]
         src288 = resize_bilinear(source512, (per, per), align_corners=True)
 
-        _, mask512 = self.geotr.apply(geotr_vars, src288)
+        ref_bm, mask512 = self.geotr.apply(geotr_vars, src288)
 
         mskx, _, hx6, hx5d, hx4d, hx3d, hx2d, hx1d = self.seg.apply(
             seg_vars, src288)
@@ -167,7 +167,14 @@ class DewarpPipeline:
             "mask_y512": seg_map_all,
             "line_msk": textline_map,
         }
-        init_flow = jnp.zeros((b, s, s, 2), jnp.float32)
+        if self.cfg.model.use_init_flow:
+            # seed the residual stream with GeoTr's coarse offsets
+            # (reference evaluation.py:176-179: ref_flow = ref_bm/287,
+            # bilinear to the latent size; zeros in the shipped config)
+            ref_flow = ref_bm.astype(jnp.float32) / (per - 1.0)
+            init_flow = resize_bilinear(ref_flow, (s, s), align_corners=True)
+        else:
+            init_flow = jnp.zeros((b, s, s, 2), jnp.float32)
         init_feat = jnp.zeros((b, s, s, 256), jnp.float32)
         return cond, init_flow, init_feat
 

@@ -48,6 +48,8 @@ def main(argv=None):
     ap.add_argument("--image", default=None,
                     help="dewarp a single image file instead of a dataset")
     ap.add_argument("--out", default=None, help="output path for --image")
+    ap.add_argument("--profile", default=None, metavar="DIR",
+                    help="write a jax.profiler trace of the run to DIR")
     args = ap.parse_args(argv)
 
     from dvd_tpu.config import default_config
@@ -65,6 +67,8 @@ def main(argv=None):
     import dataclasses
 
     cfg = dataclasses.replace(cfg, name=args.name)
+
+    import contextlib
 
     import jax
 
@@ -87,7 +91,8 @@ def main(argv=None):
         run_corruption_sweep(cfg, args)
         return
 
-    stats = run_from_config(cfg, rng=jax.random.PRNGKey(args.seed))
+    stats = run_from_config(cfg, rng=jax.random.PRNGKey(args.seed),
+                            profile_dir=args.profile)
     print(f"Elapsed: {stats['images']} images, "
           f"{stats['imgs_per_sec']} imgs/sec "
           f"(compile {stats['compile_seconds']}s)")
