@@ -5,6 +5,11 @@ attributes (``admin/local.py``, consumed as ``settings.env.*``; see
 reference ``admin/environment.py:6-109``).  We keep the same flag names so
 users of the reference can port configs 1:1, but replace "config as
 generated code" with plain frozen dataclasses + an override dict.
+
+Intentionally omitted reference flags (DiffMatch leftovers that nothing
+reachable from the entry points reads): ``nbr_objects``,
+``min_area_objects``, ``compute_object_reprojection_mask``
+(local.py:47-49).
 """
 
 from __future__ import annotations
@@ -32,6 +37,9 @@ class DiffusionConfig:
     # sampling
     n_batch: int = 2                          # number of hypotheses averaged
     eta: float = 0.0
+    use_ddim: bool = False                    # reference local.py:76 (the
+    # dewarping sampler is always the DDIM-style loop; flag kept for parity)
+    num_samples: int = 10000                  # generic-sampler count (:74)
 
 
 @dataclass(frozen=True)
@@ -75,9 +83,17 @@ class ModelConfig:
     dropout: float = 0.0
     use_scale_shift_norm: bool = True
     use_checkpoint: bool = False
+    use_sr_net: bool = False                  # reference local.py:84 (the
+    # 'sr' UNet refinement stage; off in the shipped config)
+    class_cond: bool = False                  # improved-diffusion flag (:65)
     # dtype policy
     compute_dtype: str = "bfloat16"           # "float32" | "bfloat16"
     param_dtype: str = "float32"
+
+    @property
+    def flow_size(self) -> Tuple[int, int]:
+        """Reference ``flow_size=(64,64)`` (local.py:56) — derived."""
+        return (self.image_size, self.image_size)
 
 
 @dataclass(frozen=True)
@@ -96,6 +112,7 @@ class TrainConfig:
     save_interval: int = 4000
     resume_checkpoint: Optional[str] = None
     resume_step: int = 0
+    initial_pretrained_model: Optional[str] = None  # reference local.py:50
     use_fp16: bool = False                    # torch-era flag; bf16 on TPU
     fp16_scale_growth: float = 1e-3
     seed: int = 0
@@ -106,7 +123,10 @@ class DataConfig:
     """Dataset roots & eval-set selection (reference ``local.py:8-33``)."""
 
     dataset_name: str = "doc3d"
-    data_root: str = ""
+    data_root: str = ""                       # = reference 'doc_debug' root
+    data_dir: str = ""                        # improved-diffusion alias (:51)
+    texture_list: str = ""                    # bg-texture list file (the
+    # reference hard-codes an absolute path, listdataset.py:565-571)
     eval_dataset_name: str = "docunet"        # docunet|dir300|anyphoto|docreal
     eval_dataset: str = ""
     n_threads: int = 4
@@ -131,6 +151,7 @@ class PathsConfig:
     """Checkpoint paths (reference ``local.py:77-80``)."""
 
     workspace_dir: str = "checkpoints"
+    tensorboard_dir: str = "checkpoints"      # reference local.py:4
     model_path: str = "checkpoints/model1852000.npz"
     seg_model_path: str = "checkpoints/seg.npz"
     line_seg_model_path: str = "checkpoints/line_model2.npz"

@@ -138,9 +138,41 @@ def make_train_step(
             t, weights = resample.uniform_sample(
                 k_t, batch["flow64"].shape[0], sched.num_timesteps)
 
-        (loss, (terms, new_bs)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True
-        )(state.params, state.batch_stats, batch, t, k_loss)
+        mb = cfg.train.microbatch
+        if mb and mb > 0 and mb < batch["flow64"].shape[0]:
+            # gradient accumulation (reference microbatching,
+            # train_util.py:370-375) as a lax.scan over (B/mb) chunks —
+            # one compiled body, grads averaged across chunks
+            b = batch["flow64"].shape[0]
+            assert b % mb == 0, f"batch {b} not divisible by microbatch {mb}"
+            k = b // mb
+            chunked = jax.tree.map(
+                lambda x: x.reshape((k, mb) + x.shape[1:]), batch)
+            t_chunks = t.reshape(k, mb)
+
+            def body(carry, xs):
+                grads_acc, loss_acc, mse_acc = carry
+                mbatch, mt, i = xs
+                (l, (tm, bs)), g = jax.value_and_grad(
+                    loss_fn, has_aux=True
+                )(state.params, state.batch_stats, mbatch, mt,
+                  jax.random.fold_in(k_loss, i))
+                grads_acc = jax.tree.map(jnp.add, grads_acc, g)
+                return (grads_acc, loss_acc + l, mse_acc + tm["mse"]), bs
+
+            zero_grads = jax.tree.map(jnp.zeros_like, state.params)
+            (grads, loss, mse_sum), bs_stack = jax.lax.scan(
+                body, (zero_grads, 0.0, 0.0),
+                (chunked, t_chunks, jnp.arange(k)))
+            grads = jax.tree.map(lambda g: g / k, grads)
+            loss = loss / k
+            terms = {"mse": mse_sum / k, "loss": loss}
+            new_bs = jax.tree.map(lambda x: x[-1], bs_stack) if bs_stack \
+                else {}
+        else:
+            (loss, (terms, new_bs)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(state.params, state.batch_stats, batch, t, k_loss)
 
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)

@@ -17,11 +17,14 @@ def data_iterator(cfg, seed: int):
     """Host data pipeline: Doc3D samples -> prefetched numpy batches."""
     import numpy as np
 
-    from dvd_tpu.data.doc3d import Doc3DDataset, make_doc3d_sample_list
+    from dvd_tpu.data.doc3d import (Doc3DDataset, load_texture_list,
+                                    make_doc3d_sample_list)
     from dvd_tpu.data.loader import PrefetchLoader
 
     samples = make_doc3d_sample_list(cfg.data.data_root)
-    ds = Doc3DDataset(samples=samples)
+    textures = (load_texture_list(cfg.data.texture_list)
+                if cfg.data.texture_list else ())
+    ds = Doc3DDataset(samples=samples, textures=textures)
     return PrefetchLoader(ds, batch_size=cfg.train.batch_size,
                           num_workers=cfg.data.n_threads, seed=seed,
                           keys=("source_image", "doc_mask",
