@@ -108,6 +108,10 @@ def _convert_leaf(key: str, val: np.ndarray) -> List[Tuple[str, str, np.ndarray]
         return [("batch_stats", "var", val)]
     if attr in ("num_batches_tracked",):
         return []
+    if attr in ("query_embed", "pos_embed", "row_embed", "col_embed"):
+        # bare nn.Parameter / nn.Embedding tables renamed by a rule to
+        # their flax leaf name — pass through unchanged
+        return [("params", attr, val)]
     raise ValueError(f"unhandled torch attribute {attr!r} in {key!r}")
 
 
@@ -183,8 +187,8 @@ U2NETP_RULES: List[Tuple[str, str]] = []  # names align 1:1 already
 
 GEOTR_SEG_RULES: List[Tuple[str, str]] = [
     # second (dead) cross-attn of each attnLayer is never used
-    (r".*multihead_attn_list\.1", None),
-    (r".*norm2_list\.1", None),
+    (r".*multihead_attn_list\.1(\..*)?", None),
+    (r".*norm2_list\.1(\..*)?", None),
     (r".*dropout.*", None),
     *_listify("layers"),
     (r"multihead_attn_list\.0\.", r"multihead_attn_0."),
