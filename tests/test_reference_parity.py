@@ -170,3 +170,30 @@ def test_line_unet_output_parity(ref_geotr_core):
         np.asarray(jfeat), tfeat.permute(0, 2, 3, 1).numpy(), atol=2e-4)
     np.testing.assert_allclose(
         np.asarray(jlogits), tlogits.permute(0, 2, 3, 1).numpy(), atol=2e-4)
+
+
+def test_seg_wrapper_output_parity(ref_geotr_core):
+    """Seg (geotr_core.py:984-995): hard-masked image + the six decoder
+    side features that become the seg_map_all conditioning."""
+    import jax.numpy as jnp
+    import torch
+
+    from dvd_tpu.models.u2net import Seg
+    from dvd_tpu.training import convert as C
+
+    torch.manual_seed(0)
+    tm = ref_geotr_core.Seg().eval()
+    variables = _convert(tm, C.U2NETP_RULES)
+    jm = Seg(mask_size=512)   # reference hard-codes the 512 upsample
+
+    x = np.random.RandomState(4).rand(1, 96, 96, 3).astype(np.float32)
+    with torch.no_grad():
+        touts = tm(torch.from_numpy(x).permute(0, 3, 1, 2))
+    jouts = jm.apply(variables, jnp.asarray(x))
+    # (mskx, msk_up, hx6, hx5d, hx4d, hx3d, hx2d, hx1d) — all 8 compared
+    assert len(touts) == len(jouts) == 8
+    for i, (a, b) in enumerate(zip(touts, jouts)):
+        a = a.permute(0, 2, 3, 1).numpy()
+        b = np.asarray(b)
+        assert a.shape == b.shape, f"output {i}: {a.shape} vs {b.shape}"
+        np.testing.assert_allclose(b, a, atol=2e-4, err_msg=f"output {i}")
