@@ -56,6 +56,8 @@ class DewarpPipeline:
     seg_vars: Any = None
     line_vars: Any = None
     geotr_vars: Any = None
+    vgg: Any = None                      # VGG16Pyramid (train_VGG=False)
+    vgg_vars: Any = None
 
     @classmethod
     def create(cls, cfg: DvDConfig, rng: Optional[jax.Array] = None,
@@ -103,12 +105,19 @@ class DewarpPipeline:
             "init_flow": jnp.zeros((1, s, s, 2)),
             "init_feat": jnp.zeros((1, s, s, 256)),
         }
+        m = self.cfg.model
+        # stream count (and decoder width) depends on the conditioning
+        # flags, so init with the same optional inputs apply will see
         self.dit_vars = jax.jit(
             functools.partial(self.dit.init, remap_timesteps=False)
         )(
             k1, dummy["x"], dummy["t"], y512=dummy["y512"],
-            mask_cat=dummy["mask_cat"], mask_y512=dummy["mask_y512"],
-            line_msk=dummy["line_msk"], init_flow=dummy["init_flow"],
+            mask_cat=dummy["mask_cat"],
+            mask_y512=None if m.use_gt_mask else dummy["mask_y512"],
+            line_msk=dummy["line_msk"]
+            if (m.use_line_mask and not m.use_gt_mask) else None,
+            src_feat=None if m.train_VGG else jnp.zeros((1, s, s, 256)),
+            init_flow=dummy["init_flow"],
             init_feat=dummy["init_feat"],
         )
         if init_aux:
@@ -116,6 +125,14 @@ class DewarpPipeline:
             self.seg_vars = jax.jit(self.seg.init)(k2, img288)
             self.line_vars = jax.jit(self.line.init)(k3, img288)
             self.geotr_vars = jax.jit(self.geotr.init)(k4, img288)
+            if not self.cfg.model.train_VGG:
+                from dvd_tpu.models.vgg import VGG16Pyramid
+
+                self.vgg = VGG16Pyramid()
+                self.vgg_vars = jax.jit(
+                    functools.partial(self.vgg.init, mode="eigth")
+                )(jax.random.fold_in(k4, 1),
+                  jnp.zeros((1, src, src, 3)))
 
     # ------------------------------------------------------------- adapter
     def make_dit_fn(self, dit_vars):
@@ -130,7 +147,9 @@ class DewarpPipeline:
             return self.dit.apply(
                 dit_vars, x, t,
                 y512=cond["y512"], mask_cat=cond.get("mask_cat"),
-                mask_y512=cond["mask_y512"], line_msk=cond["line_msk"],
+                mask_y512=cond.get("mask_y512"),
+                line_msk=cond.get("line_msk"),
+                src_feat=cond.get("src_feat"),
                 init_flow=init_flow, init_feat=init_feat,
                 seed_init_feat=seed_init_feat,
                 remap_timesteps=remap_timesteps,
@@ -143,9 +162,10 @@ class DewarpPipeline:
         """source512: (B, 512, 512, 3) float in [0, 1] -> conditioning dict
         + zero-initialized recurrent state (reference evaluation.py:160-263).
 
-        ``aux_vars = (seg_vars, line_vars, geotr_vars)`` passed as traced
-        arguments (see make_dit_fn note)."""
-        seg_vars, line_vars, geotr_vars = aux_vars
+        ``aux_vars = (seg_vars, line_vars, geotr_vars, vgg_vars)`` passed
+        as traced arguments (see make_dit_fn note); ``vgg_vars`` is None
+        unless ``train_VGG=False``."""
+        seg_vars, line_vars, geotr_vars, vgg_vars = aux_vars
         s = self.cfg.model.image_size
         per = self.cfg.model.perception_size
         b = source512.shape[0]
@@ -153,20 +173,26 @@ class DewarpPipeline:
 
         ref_bm, mask512 = self.geotr.apply(geotr_vars, src288)
 
+        cond = {"y512": source512, "mask_cat": mask512}
+
         mskx, _, hx6, hx5d, hx4d, hx3d, hx2d, hx1d = self.seg.apply(
             seg_vars, src288)
-        seg_map_all = seg_pyramid_to_latent(
-            (hx6, hx5d, hx4d, hx3d, hx2d, hx1d), s)
+        if not self.cfg.model.use_gt_mask:
+            # seg pyramid + text-line conditioning (evaluation.py:200-216);
+            # with use_gt_mask=True the reference passes neither
+            cond["mask_y512"] = seg_pyramid_to_latent(
+                (hx6, hx5d, hx4d, hx3d, hx2d, hx1d), s)
+            if self.cfg.model.use_line_mask:
+                line_feat, _ = self.line.apply(line_vars, mskx)
+                cond["line_msk"] = resize_bilinear(
+                    line_feat, (s, s), align_corners=False)
 
-        line_feat, _ = self.line.apply(line_vars, mskx)
-        textline_map = resize_bilinear(line_feat, (s, s), align_corners=False)
+        if not self.cfg.model.train_VGG:
+            # external torchvision-VGG conditioning (evaluation.py:224-236)
+            from dvd_tpu.models.vgg import c20_for_dit
 
-        cond = {
-            "y512": source512,
-            "mask_cat": mask512,
-            "mask_y512": seg_map_all,
-            "line_msk": textline_map,
-        }
+            feats = self.vgg.apply(vgg_vars, source512, mode="eigth")
+            cond["src_feat"] = c20_for_dit(feats, s)
         if self.cfg.model.use_init_flow:
             # seed the residual stream with GeoTr's coarse offsets
             # (reference evaluation.py:176-179: ref_flow = ref_bm/287,
@@ -194,7 +220,8 @@ class DewarpPipeline:
 
     def build_conditioning(self, source512: jnp.ndarray):
         return self.conditioning_impl(
-            (self.seg_vars, self.line_vars, self.geotr_vars), source512)
+            (self.seg_vars, self.line_vars, self.geotr_vars,
+             self.vgg_vars), source512)
 
     def dewarp_flow(self, source512: jnp.ndarray, rng: jax.Array) -> jnp.ndarray:
         """(B, 512, 512, 3) [0,1] -> (B, S, S, 2) offset field in [-1, 1]."""
@@ -209,7 +236,8 @@ class DewarpPipeline:
         sample_jit = jax.jit(self.sampling_impl)
 
         def cond_fn(source512):
-            return cond_jit((self.seg_vars, self.line_vars, self.geotr_vars),
+            return cond_jit((self.seg_vars, self.line_vars,
+                             self.geotr_vars, self.vgg_vars),
                             source512)
 
         def sample_fn(cond, init_flow, init_feat, rng):

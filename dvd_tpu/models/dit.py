@@ -121,8 +121,10 @@ class DiTBlock(nn.Module):
         if self.mode == "para":
             xq = layer_norm(x)
             streams = [x + cross(xq, cond, cond)]
-            streams.append(x + cross(xq, msk6, msk6))
-            streams.append(x + cross(xq, msk_line, msk_line))
+            if msk6 is not None:        # absent under use_gt_mask=True
+                streams.append(x + cross(xq, msk6, msk6))
+            if msk_line is not None:    # absent under use_line_mask=False
+                streams.append(x + cross(xq, msk_line, msk_line))
             if r is not None:
                 streams.append(x + cross(xq, r, r))
             return tuple(backbone(s) for s in streams)  # (x1, x2, x3[, x4])
@@ -206,10 +208,13 @@ class DiT(nn.Module):
         *,
         y512: jnp.ndarray,                 # (N, 512, 512, 3) source image
         mask_cat: Optional[jnp.ndarray],   # (N, 512, 512, 1) doc mask
-        mask_y512: jnp.ndarray,            # (N, S, S, 384) seg pyramid
-        line_msk: jnp.ndarray,             # (N, S, S, 64) text-line feats
+        mask_y512: Optional[jnp.ndarray],  # (N, S, S, 384) seg pyramid
+        line_msk: Optional[jnp.ndarray],   # (N, S, S, 64) text-line feats
         init_flow: jnp.ndarray,            # (N, S, S, 2)
         init_feat: Optional[jnp.ndarray] = None,   # (N, S, S, 256)
+        src_feat: Optional[jnp.ndarray] = None,    # external VGG cond
+        # (train_VGG=False path, cross_model.py:608-610): replaces the
+        # private pyramid's features for both cond and the tv seed
         seed_init_feat: Optional[jnp.ndarray] = None,  # (N,) bool: t == T-1
         remap_timesteps: bool = True,
         train: bool = False,
@@ -231,16 +236,24 @@ class DiT(nn.Module):
             self.hidden_size, self.time_freq_size, self.dtype, name="t_embedder"
         )(t)
 
-        # conditioning pyramid over image (+ mask channel)
+        # conditioning pyramid over image (+ mask channel); with external
+        # src_feat the private pyramid is bypassed (cross_model.py:608-610;
+        # its params still init for checkpoint-shape parity)
         if mask_cat is not None:
             y512 = jnp.concatenate([y512, mask_cat], axis=-1)
-        feat = ConditioningPyramid(self.input_size, self.dtype, name="pyramid")(
-            y512.astype(self.dtype)
-        )  # (N, 64, 64, 256)
-        if self.input_size in (16, 32):
-            feat = resize_bilinear(feat, (self.input_size, self.input_size), True)
+        if src_feat is None or self.is_initializing():
+            feat = ConditioningPyramid(
+                self.input_size, self.dtype, name="pyramid"
+            )(y512.astype(self.dtype))  # (N, 64, 64, 256)
+            if self.input_size in (16, 32):
+                feat = resize_bilinear(
+                    feat, (self.input_size, self.input_size), True)
+        if src_feat is not None:
+            feat = src_feat.astype(self.dtype)
         cond = embed("c_embedder")(feat) + pos
-        msk6 = embed("m_embedder")(mask_y512.astype(self.dtype)) + pos
+        msk6 = None
+        if mask_y512 is not None:
+            msk6 = embed("m_embedder")(mask_y512.astype(self.dtype)) + pos
 
         r = None
         if self.tv:
@@ -256,7 +269,9 @@ class DiT(nn.Module):
             )
             r = embed("r_embedder")(r_in) + pos
 
-        msk_line = embed("l_embedder")(line_msk.astype(self.dtype)) + pos
+        msk_line = None
+        if line_msk is not None:
+            msk_line = embed("l_embedder")(line_msk.astype(self.dtype)) + pos
 
         blocks = [
             DiTBlock(self.hidden_size, self.num_heads, self.mlp_ratio,
@@ -323,6 +338,8 @@ DIT_CONFIGS = {
     "DiT-S/2": dict(depth=12, hidden_size=384, patch_size=2, num_heads=6),
     "DiT-S/4": dict(depth=12, hidden_size=384, patch_size=4, num_heads=6),
     "DiT-S/8": dict(depth=12, hidden_size=384, patch_size=8, num_heads=6),
+    # ours: tiny config for CPU tests / smoke runs
+    "DiT-mini": dict(depth=2, hidden_size=48, patch_size=2, num_heads=3),
 }
 
 
