@@ -119,7 +119,8 @@ def apply_rules(key: str, rules: List[Tuple[str, str]]) -> Optional[str]:
     """Apply regex rewrite rules in order; a rule mapping to None drops the
     key (dead parameters)."""
     for pat, repl in rules:
-        if re.fullmatch(pat, key.rsplit(".", 1)[0]) and repl is None:
+        if repl is None and (re.fullmatch(pat, key.rsplit(".", 1)[0])
+                             or re.fullmatch(pat, key)):
             return None
     out = key
     for pat, repl in rules:
