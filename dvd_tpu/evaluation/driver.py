@@ -77,20 +77,13 @@ def run_benchmark(
     cond_fn, sample_fn = pipe.jitted_stages()
 
     # uint8 on the wire in both directions: host<->device copies ride a
-    # tunnel here, so fp32 canvases are 4x the bytes for nothing
+    # tunnel here, so fp32 canvases are 4x the bytes for nothing.
+    # unwarp_native tiles its final gather over output rows internally
+    # (grid_sample row_chunk), so HBM transients stay bounded at any
+    # canvas size and the whole batch unwarps in one dispatch.
     unwarp = jax.jit(lambda p, hw, f: jnp.clip(jnp.round(
         unwarp_native(p.astype(jnp.float32), hw, f)), 0.0, 255.0
     ).astype(jnp.uint8))
-    # the native unwarp costs ~P^2 * 500 bytes of gather intermediates per
-    # image (2048^2 -> ~2.1 GB; 16.9G/15.75G OOM observed at batch 8).
-    # Chunk adaptively: as few dispatches as fit a ~3.5 GB budget — each
-    # extra dispatch costs ~200 ms of tunnel latency.  Under a mesh the
-    # chunk must stay a multiple of the data-axis size.
-    p = dataset.pad_to
-    unwarp_chunk = max(1, min(batch_size, int(3.5e9 / (p * p * 500))))
-    if mesh is not None:
-        ndev = mesh.shape["data"]
-        unwarp_chunk = max(ndev, unwarp_chunk // ndev * ndev)
 
     def dewarp(src, step_rng):
         cond, init_flow, init_feat = cond_fn(src)
@@ -157,12 +150,7 @@ def run_benchmark(
         step_rng = jax.random.fold_in(rng, bi)
         t0 = time.perf_counter()
         flow = dewarp(src, step_rng)
-        b = padded.shape[0]
-        outs_dev = [
-            unwarp(padded[s:s + unwarp_chunk], hw[s:s + unwarp_chunk],
-                   flow[s:s + unwarp_chunk])
-            for s in range(0, b, unwarp_chunk)
-        ]
+        outs_dev = [unwarp(padded, hw, flow)]
         if bi == 0:
             jax.block_until_ready(outs_dev)
             # first batch pays compilation; exclude from throughput

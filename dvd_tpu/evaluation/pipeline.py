@@ -36,7 +36,7 @@ from dvd_tpu.models.dit import DiT, make_dit
 from dvd_tpu.models.geotr import GeoTrSegInf
 from dvd_tpu.models.textline_unet import TextLineUNet
 from dvd_tpu.models.u2net import Seg, seg_pyramid_to_latent
-from dvd_tpu.ops.grid_sample import grid_sample
+from dvd_tpu.ops.grid_sample import auto_row_chunk, grid_sample
 from dvd_tpu.ops.resize import resize_area, resize_bilinear
 from dvd_tpu.utils.grids import UNWARP_SHRINK, base_grid
 
@@ -288,8 +288,11 @@ def unwarp_native(
     px = (samp_x + 1.0) * (w - 1.0) / (p - 1.0) - 1.0
     py = (samp_y + 1.0) * (h - 1.0) / (p - 1.0) - 1.0
     canvas_grid = jnp.stack([px, py], axis=-1)
+    # row-tiled gather: bounds the canvas-sized corner transients (a
+    # 2048^2 batch of 8 used to peak ~2 GB and OOM) — see grid_sample.py
     return grid_sample(source_padded, canvas_grid, align_corners=True,
-                       padding_mode="zeros")
+                       padding_mode="zeros",
+                       row_chunk=auto_row_chunk(b, p, p, c))
 
 
 def unwarp_fixed(source: jnp.ndarray, flow: jnp.ndarray,

@@ -6,12 +6,24 @@ uses it for the output unwarp, the composed warp loss, the time-variant
 feature re-warp inside the sampler, and dataset intermediate-warp synthesis
 (reference ``datasets/utils/warping.py:26-73``, ``gaussian_diffusion.py:999``).
 
-Two implementations:
-- :func:`grid_sample` — pure-jnp gather formulation. XLA lowers the four
-  corner gathers to efficient dynamic-gathers; fully differentiable w.r.t.
-  both image and grid (needed in the loss path).
-- ``dvd_tpu.ops.pallas.grid_sample_kernel`` — fused Pallas TPU kernel for
-  the inference unwarp path (one pass, no 4x corner materialization).
+Implementation notes (TPU):
+- The gather formulation below is the fast path: XLA lowers the four
+  corner gathers to native dynamic-gathers, and it is fully
+  differentiable w.r.t. both image and grid (needed in the loss path).
+- For large outputs the four corner gathers would materialize
+  output-sized intermediates in HBM (~500 bytes/pixel transient; a
+  2048^2 RGB batch of 8 peaked at ~2 GB and OOMed a 16 GB chip).  Pass
+  ``row_chunk`` (or use the auto threshold in :func:`warp_big`) to tile
+  the computation over output-row chunks with an internal ``lax.scan`` —
+  intermediates are bounded by the chunk size, the result is bitwise
+  identical, and it stays differentiable.
+- A fused Pallas kernel was evaluated and rejected on evidence: Mosaic
+  lowers ``lax.gather`` only to ``tpu.dynamic_gather``, which is a
+  single-vreg shuffle — index ranges beyond 8 sublanes / 128 lanes fail
+  to compile (probed on v5e, 2026-08).  Arbitrary-range gathers would
+  have to be emulated with O(range/8) vreg selects, far slower than
+  XLA's native gather.  The scan tiling above achieves the kernel's goal
+  (no output-sized HBM intermediates) without fighting the ISA.
 
 Layout: images are NHWC, grids are ``(N, Ho, Wo, 2)`` with
 ``grid[..., 0] = x`` in [-1, 1] (torch convention).
@@ -19,7 +31,7 @@ Layout: images are NHWC, grids are ``(N, Ho, Wo, 2)`` with
 
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -31,55 +43,34 @@ def _unnormalize(coord: jnp.ndarray, size: int, align_corners: bool) -> jnp.ndar
     return ((coord + 1.0) * size - 1.0) * 0.5
 
 
-def grid_sample(
-    img: jnp.ndarray,
-    grid: jnp.ndarray,
-    *,
-    align_corners: bool = True,
-    padding_mode: str = "zeros",
-    mode: str = "bilinear",
-) -> jnp.ndarray:
-    """Sample ``img`` (N, H, W, C) at ``grid`` (N, Ho, Wo, 2) -> (N, Ho, Wo, C).
-
-    Matches torch ``F.grid_sample`` for ``mode in {bilinear, nearest}`` and
-    ``padding_mode in {zeros, border}``.
-    """
-    if img.ndim != 4 or grid.ndim != 4 or grid.shape[-1] != 2:
-        raise ValueError(f"bad shapes img={img.shape} grid={grid.shape}")
-    n, h, w, c = img.shape
-    gn, ho, wo, _ = grid.shape
-    if gn != n:
-        raise ValueError(f"batch mismatch {n} vs {gn}")
-
-    compute_dtype = jnp.promote_types(img.dtype, jnp.float32)
-    gx = _unnormalize(grid[..., 0].astype(compute_dtype), w, align_corners)
-    gy = _unnormalize(grid[..., 1].astype(compute_dtype), h, align_corners)
-
+def _corners(gx, gy, mode: str):
     if mode == "nearest":
         xi = jnp.round(gx).astype(jnp.int32)
         yi = jnp.round(gy).astype(jnp.int32)
-        corners = [(yi, xi, None)]
-    elif mode == "bilinear":
+        return [(yi, xi, None)]
+    if mode == "bilinear":
         x0 = jnp.floor(gx)
         y0 = jnp.floor(gy)
         tx = (gx - x0)[..., None]
         ty = (gy - y0)[..., None]
         x0 = x0.astype(jnp.int32)
         y0 = y0.astype(jnp.int32)
-        corners = [
+        return [
             (y0, x0, (1 - ty) * (1 - tx)),
             (y0, x0 + 1, (1 - ty) * tx),
             (y0 + 1, x0, ty * (1 - tx)),
             (y0 + 1, x0 + 1, ty * tx),
         ]
-    else:
-        raise NotImplementedError(mode)
+    raise NotImplementedError(mode)
 
-    img_flat = img.reshape(n * h * w, c)
-    batch_off = (jnp.arange(n, dtype=jnp.int32) * (h * w))[:, None, None]
 
+def _sample(img_flat, batch_off, h, w, gx, gy, mode, padding_mode,
+            compute_dtype):
+    """Gather + weight the corners for coords (n, ho, wo)."""
+    n, ho, wo = gx.shape
+    c = img_flat.shape[-1]
     out = jnp.zeros((n, ho, wo, c), dtype=compute_dtype)
-    for yi, xi, wgt in corners:
+    for yi, xi, wgt in _corners(gx, gy, mode):
         if padding_mode == "zeros":
             valid = ((yi >= 0) & (yi < h) & (xi >= 0) & (xi < w))
             yc = jnp.clip(yi, 0, h - 1)
@@ -99,6 +90,53 @@ def grid_sample(
         if wgt is not None:
             vals = vals * wgt.astype(compute_dtype)
         out = out + vals
+    return out
+
+
+def grid_sample(
+    img: jnp.ndarray,
+    grid: jnp.ndarray,
+    *,
+    align_corners: bool = True,
+    padding_mode: str = "zeros",
+    mode: str = "bilinear",
+    row_chunk: Optional[int] = None,
+) -> jnp.ndarray:
+    """Sample ``img`` (N, H, W, C) at ``grid`` (N, Ho, Wo, 2) -> (N, Ho, Wo, C).
+
+    Matches torch ``F.grid_sample`` for ``mode in {bilinear, nearest}`` and
+    ``padding_mode in {zeros, border}``.  ``row_chunk`` tiles the output
+    rows through an internal scan to bound HBM intermediates (identical
+    values; use for large outputs).
+    """
+    if img.ndim != 4 or grid.ndim != 4 or grid.shape[-1] != 2:
+        raise ValueError(f"bad shapes img={img.shape} grid={grid.shape}")
+    n, h, w, c = img.shape
+    gn, ho, wo, _ = grid.shape
+    if gn != n:
+        raise ValueError(f"batch mismatch {n} vs {gn}")
+
+    compute_dtype = jnp.promote_types(img.dtype, jnp.float32)
+    gx = _unnormalize(grid[..., 0].astype(compute_dtype), w, align_corners)
+    gy = _unnormalize(grid[..., 1].astype(compute_dtype), h, align_corners)
+
+    img_flat = img.reshape(n * h * w, c)
+    batch_off = (jnp.arange(n, dtype=jnp.int32) * (h * w))[:, None, None]
+
+    if row_chunk and 0 < row_chunk < ho and ho % row_chunk == 0:
+        k = ho // row_chunk
+        # (k, n, row_chunk, wo) chunk-major so lax.map runs over chunks
+        cgx = gx.reshape(n, k, row_chunk, wo).transpose(1, 0, 2, 3)
+        cgy = gy.reshape(n, k, row_chunk, wo).transpose(1, 0, 2, 3)
+        out = jax.lax.map(
+            lambda ab: _sample(img_flat, batch_off, h, w, ab[0], ab[1],
+                               mode, padding_mode, compute_dtype),
+            (cgx, cgy),
+        )                                        # (k, n, row_chunk, wo, c)
+        out = out.transpose(1, 0, 2, 3, 4).reshape(n, ho, wo, c)
+    else:
+        out = _sample(img_flat, batch_off, h, w, gx, gy, mode, padding_mode,
+                      compute_dtype)
     return out.astype(img.dtype)
 
 
@@ -107,3 +145,32 @@ def warp(img: jnp.ndarray, grid: jnp.ndarray, mode: str = "bilinear") -> jnp.nda
     (``warping.py:14-73``): grid already in [-1, 1], align_corners=True,
     zero padding."""
     return grid_sample(img, grid, align_corners=True, padding_mode="zeros", mode=mode)
+
+
+# transient bytes per output pixel of the unchunked gather formulation
+# (4 corner value/mask/weight intermediates + index arrays, measured on
+# v5e HLO allocations)
+_BYTES_PER_PIXEL = 500
+_HBM_BUDGET = int(1.5e9)
+
+
+def auto_row_chunk(n: int, ho: int, wo: int, c: int) -> Optional[int]:
+    """Pick a row_chunk so gather transients stay under ~1.5 GB."""
+    per_row = n * wo * max(c, 2) * _BYTES_PER_PIXEL // 3
+    max_rows = max(1, _HBM_BUDGET // max(per_row, 1))
+    if max_rows >= ho:
+        return None
+    chunk = max(1, max_rows)
+    while ho % chunk:          # scan needs an even split
+        chunk -= 1
+    return chunk
+
+
+def warp_big(img: jnp.ndarray, grid: jnp.ndarray,
+             padding_mode: str = "zeros") -> jnp.ndarray:
+    """Like :func:`grid_sample` with an automatic row chunk for large
+    outputs (the native-canvas unwarp path)."""
+    n, ho, wo, _ = grid.shape
+    return grid_sample(
+        img, grid, align_corners=True, padding_mode=padding_mode,
+        row_chunk=auto_row_chunk(n, ho, wo, img.shape[-1]))

@@ -7,7 +7,7 @@ resampling is separable, so we express each resize as two small dense
 matmuls ``out = A_h @ img @ A_w^T`` with interpolation-weight matrices
 built in numpy at trace time.  On TPU this runs on the MXU, fuses with
 surrounding elementwise ops, and is bit-for-bit the same math as torch's kernels
-(verified in tests/test_resize.py against torch CPU).
+(verified in tests/test_ops_parity.py against torch CPU).
 """
 
 from __future__ import annotations

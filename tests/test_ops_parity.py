@@ -103,3 +103,40 @@ def test_flow_grid_roundtrip():
     g = grids.flow_to_grid(f)
     f2 = grids.grid_to_flow(g)
     np.testing.assert_allclose(np.asarray(f), np.asarray(f2), atol=1e-6)
+
+
+def test_grid_sample_row_chunk_identical():
+    """row_chunk tiles the gather over output rows; values and gradients
+    must be identical to the unchunked path."""
+    import jax
+
+    r = np.random.RandomState(7)
+    img = jnp.asarray(r.rand(2, 32, 24, 3).astype(np.float32))
+    grid = jnp.asarray((r.rand(2, 40, 24, 2) * 2.4 - 1.2).astype(np.float32))
+
+    from dvd_tpu.ops.grid_sample import grid_sample
+
+    want = grid_sample(img, grid)
+    got = grid_sample(img, grid, row_chunk=8)
+    # identical math; tolerance only for XLA fusion reassociation
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
+
+    def loss(fn_kwargs):
+        def f(i, g):
+            return jnp.sum(grid_sample(i, g, **fn_kwargs) ** 2)
+        return jax.grad(f, argnums=(0, 1))(img, grid)
+
+    gi0, gg0 = loss({})
+    gi1, gg1 = loss({"row_chunk": 8})
+    np.testing.assert_allclose(np.asarray(gi1), np.asarray(gi0), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(gg1), np.asarray(gg0), atol=1e-5)
+
+
+def test_auto_row_chunk_thresholds():
+    from dvd_tpu.ops.grid_sample import auto_row_chunk
+
+    # small outputs: no chunking
+    assert auto_row_chunk(2, 512, 512, 3) is None
+    # large canvas: chunked, divides rows evenly, bounded transients
+    ch = auto_row_chunk(8, 2048, 2048, 3)
+    assert ch is not None and 2048 % ch == 0 and ch < 2048
