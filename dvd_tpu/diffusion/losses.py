@@ -58,8 +58,14 @@ def _composed_terms(
     out512 = resize_bilinear(model_output, (h, h), align_corners=True) * mask
     f_pred = (out512 + base_grid(h, h, out512.dtype)) * 2.0 - 1.0
     f_new = warp(f_inter_pm, f_pred)
-    mse = jnp.sum((target - f_new) ** 2) / jnp.sum(mask)
-    return {"mse": mse, "loss": mse}
+    # scalar loss is reference-exact (sum over the batch / sum of mask,
+    # ``:1001``); mse_per is the per-sample decomposition used for the
+    # loss-aware sampler history and quartile diagnostics
+    num = jnp.sum((target - f_new) ** 2, axis=(1, 2, 3))
+    den_per = jnp.sum(mask, axis=(1, 2, 3))
+    mse = jnp.sum(num) / jnp.sum(den_per)
+    return {"mse": mse, "loss": mse,
+            "mse_per": num / jnp.maximum(den_per, 1e-12)}
 
 
 def composed_warp_loss(
@@ -160,5 +166,8 @@ def plain_masked_mse(
         model_output = model_output[0]
     target = resize_bilinear(x_start, (h, h), align_corners=True) * mask
     out = resize_bilinear(model_output, (h, h), align_corners=True) * mask
-    mse = jnp.sum((target - out) ** 2) / jnp.sum(mask)
-    return {"mse": mse, "loss": mse}
+    num = jnp.sum((target - out) ** 2, axis=(1, 2, 3))
+    den_per = jnp.sum(mask, axis=(1, 2, 3))
+    mse = jnp.sum(num) / jnp.sum(den_per)
+    return {"mse": mse, "loss": mse,
+            "mse_per": num / jnp.maximum(den_per, 1e-12)}

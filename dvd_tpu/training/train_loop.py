@@ -77,11 +77,33 @@ def build_device_batch(pipe: DewarpPipeline, aux_vars,
     }
 
 
+def put_global_batch(raw: Dict[str, np.ndarray], batch_sh) -> Dict[str, jnp.ndarray]:
+    """Host batch -> globally sharded device arrays.
+
+    Single-process: a plain sharded device_put.  Multi-process: every
+    host contributes its *local* shard of the global batch via
+    ``jax.make_array_from_process_local_data`` (the reference's
+    DDP-rank data sharding, ``dist_util.py:21-50``); the global batch is
+    the concatenation of per-process shards in device order.
+    """
+    if jax.process_count() == 1:
+        return {k: jax.device_put(jnp.asarray(v), batch_sh)
+                for k, v in raw.items()}
+    return {k: jax.make_array_from_process_local_data(batch_sh, np.asarray(v))
+            for k, v in raw.items()}
+
+
 def train(cfg: DvDConfig, data_iter: Iterator[Dict[str, np.ndarray]],
           max_steps: Optional[int] = None,
           logger: Optional[KVLogger] = None) -> None:
-    logger = logger or KVLogger(os.path.join(cfg.paths.workspace_dir,
-                                             f"train_{cfg.name}"))
+    primary = jax.process_index() == 0
+    if logger is None:
+        # non-primary hosts keep local log output only (reference rank
+        # layout: rank 0 stdout/csv/tb, others log — logger.py:443-478)
+        logger = KVLogger(
+            os.path.join(cfg.paths.workspace_dir, f"train_{cfg.name}")
+            if primary else None,
+            formats=("stdout", "csv", "jsonl") if primary else ())
     mesh = make_mesh(cfg.parallel.data_axis, cfg.parallel.model_axis)
     latent = cfg.model.image_size
 
@@ -125,30 +147,30 @@ def train(cfg: DvDConfig, data_iter: Iterator[Dict[str, np.ndarray]],
             step = int(state.step)
             if max_steps is not None and step >= max_steps:
                 break
-            raw = {k: jax.device_put(jnp.asarray(v), batch_sh)
-                   for k, v in raw.items()}
+            raw = put_global_batch(raw, batch_sh)
             batch = prep(raw)
             state, metrics = step_fn(state, batch, rng)
 
             if step % cfg.train.log_interval == 0:
-                m = {k: float(v) for k, v in metrics.items()}
-                log_loss_quartiles(logger, sched.num_timesteps,
-                                   [m.pop("t_mean")],
-                                   {"loss": m["loss"], "mse": m["mse"]})
+                m = {k: np.asarray(v) for k, v in metrics.items()}
+                log_loss_quartiles(logger, sched.num_timesteps, m.pop("t"),
+                                   {"loss": m.pop("loss_per_sample"),
+                                    "mse": m.pop("mse_per_sample")})
                 dt = time.perf_counter() - t_last
                 t_last = time.perf_counter()
                 logger.logkv("step", step)
-                logger.logkv("grad_norm", m["grad_norm"])
+                logger.logkv("grad_norm", float(m["grad_norm"]))
                 b = batch["flow64"].shape[0]
                 logger.logkv("samples_per_sec",
                              b * cfg.train.log_interval / max(dt, 1e-9))
                 logger.dumpkvs(step)
 
             if step > 0 and step % cfg.train.save_interval == 0:
-                path = ckpt.save_train_state(ws, state)
-                logger.log(f"saved {path}")
+                path = ckpt.save_train_state(ws, state, primary=primary)
+                if primary:
+                    logger.log(f"saved {path}")
                 if os.environ.get("DVD_TRAINING_TEST") or \
                         os.environ.get("DIFFUSION_TRAINING_TEST"):
                     return
 
-        ckpt.save_train_state(ws, state)
+        ckpt.save_train_state(ws, state, primary=primary)

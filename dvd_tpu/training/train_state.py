@@ -142,37 +142,53 @@ def make_train_step(
         if mb and mb > 0 and mb < batch["flow64"].shape[0]:
             # gradient accumulation (reference microbatching,
             # train_util.py:370-375) as a lax.scan over (B/mb) chunks —
-            # one compiled body, grads averaged across chunks
+            # one compiled body, grads averaged across chunks.  Each
+            # chunk's loss/grads are scaled by its sampler weights, as the
+            # reference's per-microbatch `(loss * weights).mean()`
+            # (train_util.py:448).
             b = batch["flow64"].shape[0]
             assert b % mb == 0, f"batch {b} not divisible by microbatch {mb}"
             k = b // mb
             chunked = jax.tree.map(
                 lambda x: x.reshape((k, mb) + x.shape[1:]), batch)
             t_chunks = t.reshape(k, mb)
+            w_chunks = weights.reshape(k, mb)
 
             def body(carry, xs):
                 grads_acc, loss_acc, mse_acc = carry
-                mbatch, mt, i = xs
+                mbatch, mt, mw, i = xs
                 (l, (tm, bs)), g = jax.value_and_grad(
                     loss_fn, has_aux=True
                 )(state.params, state.batch_stats, mbatch, mt,
                   jax.random.fold_in(k_loss, i))
-                grads_acc = jax.tree.map(jnp.add, grads_acc, g)
-                return (grads_acc, loss_acc + l, mse_acc + tm["mse"]), bs
+                wm = jnp.mean(mw)
+                grads_acc = jax.tree.map(
+                    lambda a, gi: a + gi * wm, grads_acc, g)
+                ys = (l * mw, tm["mse_per"], bs)
+                return (grads_acc, loss_acc + l * wm, mse_acc + tm["mse"]), ys
 
             zero_grads = jax.tree.map(jnp.zeros_like, state.params)
-            (grads, loss, mse_sum), bs_stack = jax.lax.scan(
+            (grads, loss, mse_sum), (lps, mps, bs_stack) = jax.lax.scan(
                 body, (zero_grads, 0.0, 0.0),
-                (chunked, t_chunks, jnp.arange(k)))
+                (chunked, t_chunks, w_chunks, jnp.arange(k)))
             grads = jax.tree.map(lambda g: g / k, grads)
             loss = loss / k
             terms = {"mse": mse_sum / k, "loss": loss}
+            loss_per = lps.reshape(b)
+            mse_per = mps.reshape(b)
             new_bs = jax.tree.map(lambda x: x[-1], bs_stack) if bs_stack \
                 else {}
         else:
-            (loss, (terms, new_bs)), grads = jax.value_and_grad(
+            (loss_u, (terms, new_bs)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True
             )(state.params, state.batch_stats, batch, t, k_loss)
+            # reference `(losses["loss"] * weights).mean()` with the
+            # scalar composed loss == loss * weights.mean()
+            wm = jnp.mean(weights)
+            grads = jax.tree.map(lambda g: g * wm, grads)
+            loss = loss_u * wm
+            loss_per = loss_u * weights
+            mse_per = terms["mse_per"]
 
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
@@ -184,14 +200,18 @@ def make_train_step(
 
         sampler_state = state.sampler_state
         if sampler_state is not None:
+            # per-sample (unweighted) losses per timestep, as the
+            # reference's update_with_local_losses (resample.py:71-104)
             sampler_state = resample.update_history(
-                sampler_state, t, jnp.full(t.shape, loss))
+                sampler_state, t, mse_per)
 
         metrics = {
             "loss": loss,
             "mse": terms["mse"],
             "grad_norm": gnorm,
-            "t_mean": jnp.mean(t.astype(jnp.float32)),
+            "t": t.astype(jnp.float32),          # (B,) per-sample
+            "loss_per_sample": loss_per,         # (B,) weighted
+            "mse_per_sample": mse_per,           # (B,) unweighted
         }
         new_state = TrainState(
             step=state.step + 1,

@@ -20,6 +20,44 @@ from contextlib import contextmanager
 from typing import Dict, Optional
 
 
+_REDUCE_BUF = 16384  # JSON payload cap for the cross-host means gather
+
+
+def multihost_weighted_means(means: Dict[str, tuple]) -> Dict[str, float]:
+    """Count-weighted means of ``{key: (sum, count)}`` across every JAX
+    process — the reference's ``mpi_weighted_mean`` (``logger.py:413-440``).
+
+    Key sets may differ per host (quartile keys depend on each host's
+    sampled timesteps), so the accumulator dicts ride a fixed-size JSON
+    buffer through ``multihost_utils.process_allgather`` (the TPU-native
+    replacement for MPI gather of Python objects).  Single-process: a
+    plain local mean, no collective.  Must be called from all processes
+    at the same point (it is a collective), exactly like the reference.
+    """
+    import jax
+
+    if jax.process_count() == 1:
+        return {k: s / n for k, (s, n) in means.items()}
+
+    import numpy as np
+    from jax.experimental import multihost_utils
+
+    payload = json.dumps(means).encode()
+    if len(payload) > _REDUCE_BUF:
+        raise ValueError(f"metric payload {len(payload)} > {_REDUCE_BUF}")
+    buf = np.zeros(_REDUCE_BUF, np.uint8)
+    buf[: len(payload)] = np.frombuffer(payload, np.uint8)
+    gathered = np.asarray(multihost_utils.process_allgather(buf))
+    acc: Dict[str, list] = {}
+    for row in gathered:
+        row = bytes(row.tobytes()).rstrip(b"\x00")
+        for k, (s, n) in json.loads(row.decode()).items():
+            a = acc.setdefault(k, [0.0, 0])
+            a[0] += s
+            a[1] += n
+    return {k: s / n for k, (s, n) in acc.items() if n}
+
+
 class KVLogger:
     def __init__(self, log_dir: Optional[str] = None,
                  formats: tuple = ("stdout", "csv", "jsonl"),
@@ -55,10 +93,10 @@ class KVLogger:
         m[1] += 1
 
     def dumpkvs(self, step: Optional[int] = None) -> Dict[str, float]:
+        means = {k: (s, n) for k, (s, n) in self._means.items() if n}
+        means = multihost_weighted_means(means)
         out = dict(self._vals)
-        for k, (s, n) in self._means.items():
-            if n:
-                out[k] = s / n
+        out.update(means)
         self._vals.clear()
         self._means.clear()
         if not out:
@@ -117,13 +155,16 @@ class KVLogger:
 
 
 def log_loss_quartiles(logger: KVLogger, sched_steps: int, t, losses: Dict) -> None:
-    """Per-timestep-quartile loss keys (reference ``train_util.py:680-688``)."""
+    """Per-timestep-quartile loss keys (reference ``train_util.py:680-688``):
+    each *sample's* (t_i, v_i) pair contributes to ``{key}_q{4*t_i//T}``.
+    ``losses`` values may be per-sample arrays (B,) or scalars (broadcast
+    over ``t``)."""
     import numpy as np
 
-    t = np.asarray(t)
+    t = np.atleast_1d(np.asarray(t))
     for key, val in losses.items():
-        v = float(np.asarray(val))
-        logger.logkv_mean(key, v)
-        for ti in np.unique(t):
+        v = np.broadcast_to(np.asarray(val, np.float64), t.shape)
+        logger.logkv_mean(key, float(v.mean()))
+        for ti, vi in zip(t, v):
             quartile = int(4 * ti / sched_steps)
-            logger.logkv_mean(f"{key}_q{quartile}", v)
+            logger.logkv_mean(f"{key}_q{quartile}", float(vi))

@@ -129,3 +129,95 @@ def test_train_step_microbatched():
     moved = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()),
                          state.params, state2.params)
     assert max(jax.tree.leaves(moved)) > 0
+
+
+def test_per_sample_metrics_shapes_and_consistency():
+    """Metrics expose per-sample t / loss / mse vectors (reference
+    log_loss_dict consumes per-sample pairs, train_util.py:680-688)."""
+    cfg, state, step = _setup(time_variant=False)
+    b = 4
+    state2, m = jax.jit(step)(state, _batch(b), jax.random.PRNGKey(3))
+    assert m["t"].shape == (b,)
+    assert m["loss_per_sample"].shape == (b,)
+    assert m["mse_per_sample"].shape == (b,)
+    # with all-ones masks, the reference scalar sum/sum equals the mean of
+    # the per-sample decomposition
+    np.testing.assert_allclose(float(jnp.mean(m["mse_per_sample"])),
+                               float(m["mse"]), rtol=1e-5)
+    # uniform sampler: weights are 1 -> weighted per-sample loss is the
+    # scalar loss broadcast
+    np.testing.assert_allclose(np.asarray(m["loss_per_sample"]),
+                               np.full(b, float(m["loss"])), rtol=1e-5)
+
+
+def test_quartile_keys_differ_across_mixed_t(tmp_path):
+    """A batch with mixed timesteps must populate *different* quartile
+    keys with each sample's own value."""
+    from dvd_tpu.utils.logger import KVLogger, log_loss_quartiles
+
+    logger = KVLogger(str(tmp_path))
+    t = np.array([0, 1, 2, 2])
+    per_sample = np.array([1.0, 2.0, 3.0, 5.0])
+    log_loss_quartiles(logger, 3, t, {"loss": per_sample})
+    kv = logger.dumpkvs()
+    assert kv["loss_q0"] == 1.0        # t=0 -> quartile 0
+    assert kv["loss_q1"] == 2.0        # t=1 -> quartile 4*1//3 = 1
+    assert kv["loss_q2"] == 4.0        # two t=2 samples averaged
+    assert kv["loss"] == pytest.approx(per_sample.mean())
+
+
+def test_loss_aware_sampler_warmup_to_importance():
+    """Uniform during warmup; importance-weighted (with compensating
+    1/(T p) weights) once every timestep has a full history (reference
+    resample.py:108-154)."""
+    from dvd_tpu.training import resample
+
+    T, H = 3, 10
+    st = resample.LossSecondMomentState.create(T, history_per_term=H)
+    key = jax.random.PRNGKey(0)
+
+    t0, w0 = resample.loss_aware_sample(key, 6, st)
+    np.testing.assert_allclose(np.asarray(w0), np.ones(6), rtol=1e-6)
+
+    # warm the history: timestep 2 sees 10x the loss of 0/1
+    for i in range(H):
+        st = resample.update_history(
+            st, jnp.array([0, 1, 2]), jnp.array([0.1, 0.1, 1.0]))
+    p = np.asarray(resample.loss_aware_weights(st))
+    assert p[2] > p[0] * 5  # importance concentrates on the lossy timestep
+    t1, w1 = resample.loss_aware_sample(key, 2048, st)
+    assert np.asarray(w1).std() > 0  # non-trivial compensating weights
+    # E_p[w * f(t)] stays unbiased: weights are 1/(T p_t)
+    np.testing.assert_allclose(
+        np.asarray(w1) * p[np.asarray(t1)] * T, np.ones(2048), rtol=1e-5)
+    # lossy timestep oversampled
+    frac2 = float(np.mean(np.asarray(t1) == 2))
+    assert frac2 > 0.5
+
+
+def test_train_step_updates_sampler_history_per_sample():
+    cfg, state, step = _setup(time_variant=False)
+    cfg = cfg.replace(train={"schedule_sampler": "loss-second-moment"})
+    from dvd_tpu.diffusion.schedule import make_schedule
+    from dvd_tpu.models.dit import DiT
+    from dvd_tpu.training.train_state import (create_train_state,
+                                              make_optimizer, make_train_step)
+
+    dit = DiT(input_size=S, patch_size=2, in_channels=2, hidden_size=48,
+              depth=2, num_heads=3, tv=False, chain_blocks=False)
+    tx = make_optimizer(cfg)
+    state = create_train_state(cfg, {"params": state.params,
+                                     "batch_stats": state.batch_stats}, tx)
+    assert state.sampler_state is not None
+    step2 = make_train_step(cfg, make_schedule(steps=3), dit.apply, tx)
+    b = 4
+    state2, m = jax.jit(step2)(state, _batch(b), jax.random.PRNGKey(5))
+    # every sample contributed one history entry at its own timestep
+    assert int(state2.sampler_state.counts.sum()) == b
+    hist = np.asarray(state2.sampler_state.history)
+    nonzero = hist[hist != 0]
+    assert nonzero.size == b
+    # history entries are the per-sample (unweighted) losses
+    np.testing.assert_allclose(np.sort(nonzero),
+                               np.sort(np.asarray(m["mse_per_sample"])),
+                               rtol=1e-6)
