@@ -22,7 +22,13 @@ class PrefetchLoader:
     def __init__(self, dataset, batch_size: int, num_workers: int = 4,
                  seed: int = 0, keys: Sequence[str] = (),
                  shuffle: bool = True, depth: int = 2,
-                 drop_last: bool = True):
+                 drop_last: bool = True,
+                 process_index: int = 0, process_count: int = 1):
+        """``batch_size`` is the per-process batch.  Under multi-host
+        training each process takes a ``process_index``-strided slice of
+        the (identically seeded, hence identical) global epoch order —
+        the reference shards by MPI rank the same way
+        (``image_datasets.py:31-33``, ``dist_util`` world split)."""
         self.ds = dataset
         self.batch_size = batch_size
         self.num_workers = max(1, num_workers)
@@ -31,6 +37,10 @@ class PrefetchLoader:
         self.shuffle = shuffle
         self.depth = depth
         self.drop_last = drop_last
+        if not (0 <= process_index < process_count):
+            raise ValueError((process_index, process_count))
+        self.process_index = process_index
+        self.process_count = process_count
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         epoch = 0
@@ -45,6 +55,7 @@ class PrefetchLoader:
                 order = np.arange(len(self.ds))
                 if self.shuffle:
                     rng.shuffle(order)
+                order = order[self.process_index::self.process_count]
                 n = len(order)
                 end = n - n % self.batch_size if self.drop_last else n
                 for s in range(0, end, self.batch_size):

@@ -72,7 +72,15 @@ def _ckpt_dir(workspace: str, step: int) -> str:
     return os.path.join(os.path.abspath(workspace), f"state_{step:08d}")
 
 
-def save_train_state(workspace: str, state, step: Optional[int] = None) -> str:
+def save_train_state(workspace: str, state, step: Optional[int] = None,
+                     primary: bool = True) -> str:
+    """Orbax save.  Under multi-host training this is a *collective* —
+    every process must call it (orbax coordinates shard writes; the
+    reference instead wrote on rank 0 behind a dist.barrier,
+    ``train_util.py:599-624``).  ``primary`` is accepted for caller
+    symmetry; orbax handles per-process responsibilities itself.
+    ``workspace`` must be shared storage on real multi-host pods."""
+    del primary
     import orbax.checkpoint as ocp
 
     step = int(state.step) if step is None else step

@@ -14,7 +14,13 @@ import dataclasses
 
 
 def data_iterator(cfg, seed: int):
-    """Host data pipeline: Doc3D samples -> prefetched numpy batches."""
+    """Host data pipeline: Doc3D samples -> prefetched numpy batches.
+
+    ``cfg.train.batch_size`` is the per-process batch (reference
+    semantics: batch 10 per GPU, global = batch x world,
+    ``train_util.py:97``); each process loads its rank-strided slice of
+    the epoch order."""
+    import jax
     import numpy as np
 
     from dvd_tpu.data.doc3d import (Doc3DDataset, load_texture_list,
@@ -28,7 +34,9 @@ def data_iterator(cfg, seed: int):
     return PrefetchLoader(ds, batch_size=cfg.train.batch_size,
                           num_workers=cfg.data.n_threads, seed=seed,
                           keys=("source_image", "doc_mask",
-                                "flow_map", "flow_map_inter"))
+                                "flow_map", "flow_map_inter"),
+                          process_index=jax.process_index(),
+                          process_count=jax.process_count())
 
 
 def main(argv=None):
