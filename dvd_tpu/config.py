@@ -17,7 +17,7 @@ from __future__ import annotations
 import dataclasses
 import json
 from dataclasses import dataclass, field
-from typing import Any, Mapping, Optional, Tuple
+from typing import Any, Mapping, Optional, Tuple, Union
 
 
 @dataclass(frozen=True)
@@ -105,7 +105,10 @@ class TrainConfig:
     microbatch: int = -1
     weight_decay: float = 0.0
     lr_anneal_steps: int = 0
-    ema_rate: float = 0.9999
+    # single rate or comma-separated list ("0.9999,0.999"); the reference
+    # keeps one EMA param copy + checkpoint file per rate
+    # (train_util.py:70-80, 599-624)
+    ema_rate: Union[float, str] = 0.9999
     grad_clip: float = 1.0
     schedule_sampler: str = "uniform"         # "uniform" | "loss-second-moment"
     log_interval: int = 20
@@ -116,6 +119,17 @@ class TrainConfig:
     use_fp16: bool = False                    # torch-era flag; bf16 on TPU
     fp16_scale_growth: float = 1e-3
     seed: int = 0
+
+    @property
+    def ema_rates(self) -> Tuple[float, ...]:
+        """Parsed EMA rate list (reference train_util.py:76-80).  Accepts
+        a float, a "0.9999,0.999" string, or a tuple/list (the --set CLI
+        override literal-evals comma values to a tuple)."""
+        if isinstance(self.ema_rate, str):
+            return tuple(float(x) for x in self.ema_rate.split(",") if x)
+        if isinstance(self.ema_rate, (tuple, list)):
+            return tuple(float(x) for x in self.ema_rate)
+        return (float(self.ema_rate),)
 
 
 @dataclass(frozen=True)

@@ -43,6 +43,13 @@ class BenchmarkDataset:
     source_size: int = 512
     pad_to: int = 0             # canvas for native-size unwarp; 0 = fit
     max_side: Optional[int] = None  # optionally downscale huge originals
+    # fit-canvas ceiling: originals larger than this are downscaled to it
+    # before unwarping (the reference unwarps at true native size,
+    # evaluation.py:300-306).  grid_sample's internal row tiling bounds
+    # HBM transients at any canvas, so the cost of a big canvas is only
+    # the uint8 canvas wire bytes (canvas^2*3 per image); 4096 covers
+    # AnyPhotoDoc's largest photos.  Set 0 for no ceiling.
+    canvas_cap: int = 4096
 
     def __post_init__(self):
         if not self.pad_to:
@@ -62,7 +69,8 @@ class BenchmarkDataset:
                     m = max(m, *im.size)
             except OSError:
                 continue
-        m = min(m, 2048)
+        if self.canvas_cap:
+            m = min(m, self.canvas_cap)
         if self.max_side:
             m = min(m, self.max_side)
         return -(-m // 256) * 256

@@ -164,6 +164,7 @@ def run_benchmark(
         if inflight is not None:
             drain(inflight)
         inflight = (outs_dev, flow, batch)
+        last_inputs = (src, padded, hw, step_rng)
 
     if inflight is not None:
         drain(inflight)
@@ -191,6 +192,23 @@ def run_benchmark(
         "imgs_per_sec": round(n_timed / total, 3) if total > 0 else 0.0,
         "compile_seconds": round(compile_time, 3),
     }
+    if n_done:
+        # per-stage steady-state timings (synced re-runs of the last
+        # batch, outside the throughput window) so perf regressions are
+        # attributable per stage across rounds
+        src, padded, hw, step_rng = last_inputs
+        stage = {}
+        for name, fn in (
+            ("conditioning", lambda: cond_fn(src)),
+            ("sample", lambda: sample_fn(*cond_fn(src), step_rng)),
+            ("unwarp", lambda: unwarp(padded, hw, flow)),
+        ):
+            t0 = time.perf_counter()
+            jax.block_until_ready(fn())
+            stage[name] = round(time.perf_counter() - t0, 4)
+        stage["sample"] = round(
+            max(stage["sample"] - stage["conditioning"], 0.0), 4)
+        stats["stage_seconds_per_batch"] = stage
     with open(os.path.join(out_dir, "run_stats.json"), "w") as f:
         json.dump(stats, f, indent=2)
     return stats

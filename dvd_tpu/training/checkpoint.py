@@ -91,6 +91,16 @@ def save_train_state(workspace: str, state, step: Optional[int] = None,
     return path
 
 
+def save_ema_snapshots(workspace: str, cfg, state, step: int) -> None:
+    """Per-rate EMA weight files alongside the orbax state, mirroring the
+    reference's ``ema_{rate}_{step:06d}.pt`` (``train_util.py:599-614``).
+    Loadable as plain model variable files (msgpack)."""
+    for rate, tree in zip(cfg.train.ema_rates, state.ema_params):
+        save_variables(
+            os.path.join(workspace, f"ema_{rate}_{step:06d}.msgpack"),
+            {"params": tree, "batch_stats": state.batch_stats})
+
+
 def latest_checkpoint(workspace: str) -> Optional[str]:
     if not os.path.isdir(workspace):
         return None

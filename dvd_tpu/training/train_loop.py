@@ -131,7 +131,8 @@ def train(cfg: DvDConfig, data_iter: Iterator[Dict[str, np.ndarray]],
     with mesh:
         psh = sharding_tree(state.params, mesh, cfg.parallel.fsdp)
         state.params = jax.tree.map(jax.device_put, state.params, psh)
-        state.ema_params = jax.tree.map(jax.device_put, state.ema_params, psh)
+        state.ema_params = tuple(
+            jax.tree.map(jax.device_put, e, psh) for e in state.ema_params)
         batch_sh = NamedSharding(mesh, P("data"))
 
         prep_jit = jax.jit(
@@ -169,6 +170,7 @@ def train(cfg: DvDConfig, data_iter: Iterator[Dict[str, np.ndarray]],
                 path = ckpt.save_train_state(ws, state, primary=primary)
                 if primary:
                     logger.log(f"saved {path}")
+                    ckpt.save_ema_snapshots(ws, cfg, state, step)
                 if os.environ.get("DVD_TRAINING_TEST") or \
                         os.environ.get("DIFFUSION_TRAINING_TEST"):
                     return

@@ -33,7 +33,7 @@ class TrainState:
     step: jnp.ndarray
     params: Any
     opt_state: Any
-    ema_params: Any
+    ema_params: Any             # tuple of param trees, one per EMA rate
     batch_stats: Any            # SATRN decoder BN running stats (trainable model)
     sampler_state: Optional[resample.LossSecondMomentState]
 
@@ -66,7 +66,8 @@ def create_train_state(cfg: DvDConfig, variables: Dict[str, Any],
         step=jnp.zeros((), jnp.int32),
         params=params,
         opt_state=tx.init(params),
-        ema_params=jax.tree.map(jnp.copy, params),
+        ema_params=tuple(jax.tree.map(jnp.copy, params)
+                         for _ in cfg.train.ema_rates),
         batch_stats=variables.get("batch_stats", {}),
         sampler_state=sampler_state,
     )
@@ -89,7 +90,7 @@ def make_train_step(
       flow_inter  (B, 512, 512, 2)  intermediate offsets
       mask        (B, 512, 512, 1)  loss mask
     """
-    ema_rate = cfg.train.ema_rate
+    ema_rates = cfg.train.ema_rates
     s = cfg.model.image_size
     use_tv = bool(cfg.model.time_variant) and cfg.model.iter
 
@@ -192,9 +193,10 @@ def make_train_step(
 
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
-        new_ema = jax.tree.map(
-            lambda e, p: e * ema_rate + p * (1.0 - ema_rate),
-            state.ema_params, new_params,
+        new_ema = tuple(
+            jax.tree.map(lambda e, p, r=rate: e * r + p * (1.0 - r),
+                         ema_tree, new_params)
+            for rate, ema_tree in zip(ema_rates, state.ema_params)
         )
         gnorm = optax.global_norm(grads)
 

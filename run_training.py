@@ -48,6 +48,10 @@ def main(argv=None):
     ap.add_argument("--set", action="append", dest="overrides", metavar="K=V")
     ap.add_argument("--data_root", default=None)
     ap.add_argument("--max_steps", type=int, default=None)
+    ap.add_argument("--synthetic", type=int, default=0, metavar="N",
+                    help="generate an N-sample synthetic Doc3D-format "
+                         "dataset (data.data_root or a temp dir) and train "
+                         "on it through the standard loader path")
     ap.add_argument("--multihost", action="store_true",
                     help="call jax.distributed.initialize() first")
     args = ap.parse_args(argv)
@@ -71,6 +75,12 @@ def main(argv=None):
     cfg = dataclasses.replace(cfg.replace(**over), name=args.name)
 
     runtime.enable_compilation_cache()
+    if args.synthetic:
+        from dvd_tpu.data.synthetic import write_synthetic_doc3d
+
+        root = cfg.data.data_root or "checkpoints/synthetic_doc3d"
+        write_synthetic_doc3d(root, args.synthetic, seed=args.seed)
+        cfg = cfg.replace(data={"data_root": root})
     loader = data_iterator(cfg, args.seed)
     mapped = ({"source_image": b["source_image"],
                "doc_mask": b["doc_mask"],

@@ -21,3 +21,10 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# persistent compile cache: identical test graphs compile once across
+# runs/sessions (CPU-backend compiles dominate suite wall time)
+from dvd_tpu.utils import runtime  # noqa: E402
+
+runtime.enable_compilation_cache(
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_test_cache"))

@@ -15,11 +15,12 @@ from dvd_tpu.training.train_state import (create_train_state, make_optimizer,
 S, SRC = 16, 128
 
 
-def _setup(time_variant=True):
+def _setup(time_variant=True, **train_over):
     cfg = default_config().replace(
         model={"image_size": S, "source_size": SRC, "perception_size": 64,
                "compute_dtype": "float32", "time_variant": time_variant,
                "iter": time_variant},
+        train=train_over,
     )
     dit = DiT(input_size=S, patch_size=2, in_channels=2, hidden_size=48,
               depth=2, num_heads=3, tv=time_variant, chain_blocks=False)
@@ -69,7 +70,7 @@ def test_train_step_updates_params_and_ema():
     ema_diff = jax.tree.reduce(
         lambda a, b: a + b,
         jax.tree.map(lambda a, b: float(jnp.abs(a - b).sum()),
-                     state.ema_params, state2.ema_params),
+                     state.ema_params[0], state2.ema_params[0]),
     )
     assert 0 < ema_diff < diff
 
@@ -98,7 +99,8 @@ def test_train_step_sharded_over_mesh():
     with mesh:
         psh = sharding_tree(state.params, mesh)
         state.params = jax.tree.map(jax.device_put, state.params, psh)
-        state.ema_params = jax.tree.map(jax.device_put, state.ema_params, psh)
+        state.ema_params = tuple(
+            jax.tree.map(jax.device_put, e, psh) for e in state.ema_params)
         bsh = NamedSharding(mesh, P("data"))
         batch = {k: jax.device_put(v, bsh) for k, v in _batch(8).items()}
         state2, metrics = jax.jit(step)(state, batch, jax.random.PRNGKey(0))
@@ -221,3 +223,23 @@ def test_train_step_updates_sampler_history_per_sample():
     np.testing.assert_allclose(np.sort(nonzero),
                                np.sort(np.asarray(m["mse_per_sample"])),
                                rtol=1e-6)
+
+
+def test_multi_rate_ema():
+    # reference supports comma-separated EMA rates with one param copy per
+    # rate (train_util.py:76-80); slower rate must move less per step
+    cfg, state, step = _setup(time_variant=False, ema_rate="0.9,0.999")
+    assert cfg.train.ema_rates == (0.9, 0.999)
+    assert isinstance(state.ema_params, tuple) and len(state.ema_params) == 2
+    state2, _ = jax.jit(step)(state, _batch(), jax.random.PRNGKey(0))
+
+    def total_move(old, new):
+        return jax.tree.reduce(
+            lambda a, b: a + b,
+            jax.tree.map(lambda a, b: float(jnp.abs(a - b).sum()), old, new))
+
+    move_fast = total_move(state.ema_params[0], state2.ema_params[0])
+    move_slow = total_move(state.ema_params[1], state2.ema_params[1])
+    assert move_fast > move_slow > 0
+    # rate 0.9 moves 100x further than 0.999 per step
+    np.testing.assert_allclose(move_fast / move_slow, 100.0, rtol=1e-3)

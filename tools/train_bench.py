@@ -1,0 +1,202 @@
+#!/usr/bin/env python
+"""Training-throughput benchmark on real hardware (VERDICT r1 item 5).
+
+Measures, on the production DiT config over synthetic Doc3D-format data:
+
+1. steady-state training steps/sec + samples/sec (full path: loader ->
+   aux-net conditioning -> time-variant train step), with the loss curve
+   recorded so convergence is evidenced, and
+2. the rollout A/B: the vectorized batch rollout (production,
+   ``sampler.rollout_states_for_training``) vs the reference's
+   per-sample structure (a Python loop of single-sample jitted rollout
+   calls, ``gaussian_diffusion.py:921-972``) at the same batch size.
+
+Writes ``docs/TRAIN_BENCH_r2.json``.  Run:
+  python tools/train_bench.py [--steps 200] [--batch 8] [--out PATH]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def rollout_ab(cfg, sched, pipe, batch, rng):
+    """Wall-time one vectorized batched rollout vs B sequential
+    single-sample rollouts (the reference's loop structure)."""
+    import jax
+    import jax.numpy as jnp
+
+    from dvd_tpu.diffusion.sampler import rollout_states_for_training
+
+    s = cfg.model.image_size
+    b = batch["flow64"].shape[0]
+
+    def model_fn_factory(params, bs):
+        def model_fn(x, tt, cond, *, init_flow, init_feat, seed_init_feat,
+                     remap_timesteps):
+            out, _ = pipe.dit.apply(
+                {"params": params, "batch_stats": bs}, x, tt,
+                y512=cond["y512"], mask_cat=cond.get("mask_cat"),
+                mask_y512=cond["mask_y512"], line_msk=cond["line_msk"],
+                init_flow=init_flow, init_feat=init_feat,
+                seed_init_feat=seed_init_feat,
+                remap_timesteps=remap_timesteps,
+                train=True, mutable=["batch_stats"],
+                rngs={"dropout": jax.random.PRNGKey(0)},
+            )
+            return out
+        return model_fn
+
+    params = pipe.dit_vars["params"]
+    bs = pipe.dit_vars.get("batch_stats", {})
+    model_fn = model_fn_factory(params, bs)
+    cond = {k: batch[k] for k in ("y512", "mask_cat", "mask_y512", "line_msk")}
+
+    def batched(t, rng):
+        return rollout_states_for_training(
+            model_fn, sched, cond,
+            jnp.zeros((b, s, s, 2)), jnp.zeros((b, s, s, 256)),
+            t, rng=rng, latent_size=s)
+
+    def single(cond1, t1, rng):
+        return rollout_states_for_training(
+            model_fn, sched, cond1,
+            jnp.zeros((1, s, s, 2)), jnp.zeros((1, s, s, 256)),
+            t1, rng=rng, latent_size=s)
+
+    jb = jax.jit(batched)
+    js = jax.jit(single)
+    t_all = jnp.full((b,), 0, jnp.int32)
+
+    # warm both compiles
+    jax.block_until_ready(jb(t_all, rng))
+    cond1 = {k: v[:1] for k, v in cond.items()}
+    jax.block_until_ready(js(cond1, t_all[:1], rng))
+
+    reps = 3
+    t0 = time.perf_counter()
+    for r in range(reps):
+        jax.block_until_ready(jb(t_all, jax.random.fold_in(rng, r)))
+    tb = (time.perf_counter() - t0) / reps
+
+    t0 = time.perf_counter()
+    for r in range(reps):
+        for i in range(b):  # the reference's per-sample Python loop shape
+            ci = {k: v[i:i + 1] for k, v in cond.items()}
+            jax.block_until_ready(
+                js(ci, t_all[i:i + 1], jax.random.fold_in(rng, 100 + r * b + i)))
+    ts = (time.perf_counter() - t0) / reps
+    return {"batched_rollout_s": tb, "per_sample_rollout_s": ts,
+            "speedup": ts / tb, "batch": b}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=200)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--n_samples", type=int, default=64)
+    ap.add_argument("--out", default="docs/TRAIN_BENCH_r2.json")
+    ap.add_argument("--skip_ab", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+    import numpy as np
+
+    from dvd_tpu.config import default_config
+    from dvd_tpu.data.doc3d import Doc3DDataset, make_doc3d_sample_list
+    from dvd_tpu.data.loader import PrefetchLoader
+    from dvd_tpu.data.synthetic import write_synthetic_doc3d
+    from dvd_tpu.diffusion.schedule import make_schedule
+    from dvd_tpu.evaluation.pipeline import DewarpPipeline
+    from dvd_tpu.utils import runtime
+
+    runtime.enable_compilation_cache()
+    cfg = default_config().replace(
+        train={"batch_size": args.batch, "log_interval": 10,
+               "save_interval": 10**9})
+    root = "checkpoints/synthetic_doc3d"
+    write_synthetic_doc3d(root, args.n_samples)
+    cfg = cfg.replace(data={"data_root": root})
+
+    samples = make_doc3d_sample_list(root, split_ratio=1.0)
+    ds = Doc3DDataset(samples=samples)
+    loader = PrefetchLoader(ds, batch_size=args.batch, num_workers=2, seed=0,
+                            keys=("source_image", "doc_mask",
+                                  "flow_map", "flow_map_inter"))
+
+    # --- full train path with instrumentation ---------------------------
+    from dvd_tpu.training import train_loop as TL
+    from dvd_tpu.training.checkpoint import maybe_load_pipeline_weights
+    from dvd_tpu.training.train_state import (create_train_state,
+                                              make_optimizer, make_train_step)
+    from dvd_tpu.parallel.mesh import make_mesh, sharding_tree
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    mesh = make_mesh(cfg.parallel.data_axis, cfg.parallel.model_axis)
+    latent = cfg.model.image_size
+    pipe = DewarpPipeline.create(cfg, rng=jax.random.PRNGKey(0))
+    maybe_load_pipeline_weights(pipe, cfg)
+    sched = make_schedule(steps=cfg.diffusion.diffusion_steps,
+                          schedule_name=cfg.diffusion.noise_schedule,
+                          respacing=cfg.diffusion.timestep_respacing,
+                          rescale_timesteps=cfg.diffusion.rescale_timesteps)
+    tx = make_optimizer(cfg)
+    state = create_train_state(cfg, pipe.dit_vars, tx)
+    train_step = make_train_step(cfg, sched, pipe.dit.apply, tx)
+
+    losses, times = [], []
+    with mesh:
+        psh = sharding_tree(state.params, mesh, cfg.parallel.fsdp)
+        state.params = jax.tree.map(jax.device_put, state.params, psh)
+        state.ema_params = tuple(
+            jax.tree.map(jax.device_put, e, psh) for e in state.ema_params)
+        batch_sh = NamedSharding(mesh, P("data"))
+        prep_jit = jax.jit(
+            lambda aux, raw: TL.build_device_batch(pipe, aux, raw, latent))
+        step_fn = jax.jit(train_step, donate_argnums=(0,))
+        rng = jax.random.PRNGKey(0)
+
+        it = iter(loader)
+        ab = None
+        for i in range(args.steps):
+            raw = next(it)
+            raw = {k: jax.device_put(jax.numpy.asarray(v), batch_sh)
+                   for k, v in raw.items()}
+            t0 = time.perf_counter()
+            batch = prep_jit((pipe.seg_vars, pipe.line_vars), raw)
+            state, metrics = step_fn(state, batch, rng)
+            loss = float(metrics["loss"])  # sync point
+            dt = time.perf_counter() - t0
+            losses.append(loss)
+            times.append(dt)
+            if i % 10 == 0:
+                print(f"step {i}: loss={loss:.5f} {dt*1000:.0f} ms", flush=True)
+            if not args.skip_ab and ab is None and i == 0:
+                ab = rollout_ab(cfg, sched, pipe, batch, rng)
+                print("rollout A/B:", ab, flush=True)
+
+    steady = times[max(1, len(times) // 5):]
+    result = {
+        "device": str(jax.devices()[0]),
+        "batch": args.batch,
+        "steps": args.steps,
+        "steps_per_sec": 1.0 / float(np.mean(steady)),
+        "samples_per_sec": args.batch / float(np.mean(steady)),
+        "loss_first10_mean": float(np.mean(losses[:10])),
+        "loss_last10_mean": float(np.mean(losses[-10:])),
+        "loss_curve_every10": losses[::10],
+        "rollout_ab": ab,
+    }
+    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+    with open(args.out, "w") as f:
+        json.dump(result, f, indent=2)
+    print(json.dumps({k: v for k, v in result.items()
+                      if k != "loss_curve_every10"}, indent=2))
+
+
+if __name__ == "__main__":
+    main()
