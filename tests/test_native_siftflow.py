@@ -70,3 +70,27 @@ def test_metrics_native_backend():
     ad = aligned_distortion(shifted, rgb, backend="native")
     assert 3.0 < ld < 7.0
     assert ad < 0.6 * ld
+
+
+def test_calibration_against_oracle_flow():
+    """Both registration backends must land within a few percent of the
+    analytically-known registration flow on a warped text document (the
+    full-size calibration evidence lives in
+    docs/registration_calibration.json; this is the fast regression)."""
+    from dvd_tpu.evaluation.calibrate import (_ld_ad, apply_warp,
+                                              oracle_registration_flow,
+                                              random_warp_field,
+                                              render_document)
+    from dvd_tpu.evaluation.metrics import dense_registration_flow
+
+    gt = render_document(320, 256, seed=11)
+    u = random_warp_field(320, 256, magnitude=5.0, seed=12)
+    warped = apply_warp(gt, u)
+    ld_o, ad_o = _ld_ad(oracle_registration_flow(u), gt)
+    assert ld_o > 2.0  # sanity: the warp is non-trivial
+
+    for backend in ("native", "dis"):
+        fl = dense_registration_flow(warped, gt, backend=backend)
+        ld, ad = _ld_ad(fl, gt)
+        assert abs(ld - ld_o) / ld_o < 0.08, (backend, ld, ld_o)
+        assert abs(ad - ad_o) / ad_o < 0.08, (backend, ad, ad_o)
