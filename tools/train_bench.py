@@ -35,11 +35,14 @@ def rollout_ab(cfg, sched, pipe, batch, rng):
     s = cfg.model.image_size
     b = batch["flow64"].shape[0]
 
-    def model_fn_factory(params, bs):
+    def make_model_fn(variables):
+        # ``variables`` stays a traced jit argument — closing over the
+        # concrete arrays would bake the weights into the HLO as literal
+        # constants and blow the remote-compile request limit
         def model_fn(x, tt, cond, *, init_flow, init_feat, seed_init_feat,
                      remap_timesteps):
             out, _ = pipe.dit.apply(
-                {"params": params, "batch_stats": bs}, x, tt,
+                variables, x, tt,
                 y512=cond["y512"], mask_cat=cond.get("mask_cat"),
                 mask_y512=cond["mask_y512"], line_msk=cond["line_msk"],
                 init_flow=init_flow, init_feat=init_feat,
@@ -51,36 +54,30 @@ def rollout_ab(cfg, sched, pipe, batch, rng):
             return out
         return model_fn
 
-    params = pipe.dit_vars["params"]
-    bs = pipe.dit_vars.get("batch_stats", {})
-    model_fn = model_fn_factory(params, bs)
+    dit_vars = {"params": pipe.dit_vars["params"],
+                "batch_stats": pipe.dit_vars.get("batch_stats", {})}
     cond = {k: batch[k] for k in ("y512", "mask_cat", "mask_y512", "line_msk")}
 
-    def batched(t, rng):
+    def batched(variables, cnd, t, rng):
         return rollout_states_for_training(
-            model_fn, sched, cond,
-            jnp.zeros((b, s, s, 2)), jnp.zeros((b, s, s, 256)),
+            make_model_fn(variables), sched, cnd,
+            jnp.zeros((t.shape[0], s, s, 2)),
+            jnp.zeros((t.shape[0], s, s, 256)),
             t, rng=rng, latent_size=s)
 
-    def single(cond1, t1, rng):
-        return rollout_states_for_training(
-            model_fn, sched, cond1,
-            jnp.zeros((1, s, s, 2)), jnp.zeros((1, s, s, 256)),
-            t1, rng=rng, latent_size=s)
-
     jb = jax.jit(batched)
-    js = jax.jit(single)
     t_all = jnp.full((b,), 0, jnp.int32)
 
-    # warm both compiles
-    jax.block_until_ready(jb(t_all, rng))
+    # warm both compiles (batch-b and batch-1 shapes)
     cond1 = {k: v[:1] for k, v in cond.items()}
-    jax.block_until_ready(js(cond1, t_all[:1], rng))
+    jax.block_until_ready(jb(dit_vars, cond, t_all, rng))
+    jax.block_until_ready(jb(dit_vars, cond1, t_all[:1], rng))
 
     reps = 3
     t0 = time.perf_counter()
     for r in range(reps):
-        jax.block_until_ready(jb(t_all, jax.random.fold_in(rng, r)))
+        jax.block_until_ready(
+            jb(dit_vars, cond, t_all, jax.random.fold_in(rng, r)))
     tb = (time.perf_counter() - t0) / reps
 
     t0 = time.perf_counter()
@@ -88,7 +85,8 @@ def rollout_ab(cfg, sched, pipe, batch, rng):
         for i in range(b):  # the reference's per-sample Python loop shape
             ci = {k: v[i:i + 1] for k, v in cond.items()}
             jax.block_until_ready(
-                js(ci, t_all[i:i + 1], jax.random.fold_in(rng, 100 + r * b + i)))
+                jb(dit_vars, ci, t_all[i:i + 1],
+                   jax.random.fold_in(rng, 100 + r * b + i)))
     ts = (time.perf_counter() - t0) / reps
     return {"batched_rollout_s": tb, "per_sample_rollout_s": ts,
             "speedup": ts / tb, "batch": b}
@@ -162,6 +160,15 @@ def main():
 
         it = iter(loader)
         ab = None
+        if not args.skip_ab:
+            # before the train loop: the first donated step frees the
+            # original param buffers that rollout_ab reads via pipe.dit_vars
+            raw0 = {k: jax.device_put(jax.numpy.asarray(v), batch_sh)
+                    for k, v in next(it).items()}
+            batch0 = prep_jit((pipe.seg_vars, pipe.line_vars), raw0)
+            ab = rollout_ab(cfg, sched, pipe, batch0, rng)
+            print("rollout A/B:", ab, flush=True)
+        t_wall0 = time.perf_counter()
         for i in range(args.steps):
             raw = next(it)
             raw = {k: jax.device_put(jax.numpy.asarray(v), batch_sh)
@@ -175,17 +182,20 @@ def main():
             times.append(dt)
             if i % 10 == 0:
                 print(f"step {i}: loss={loss:.5f} {dt*1000:.0f} ms", flush=True)
-            if not args.skip_ab and ab is None and i == 0:
-                ab = rollout_ab(cfg, sched, pipe, batch, rng)
-                print("rollout A/B:", ab, flush=True)
 
+    t_wall = time.perf_counter() - t_wall0
     steady = times[max(1, len(times) // 5):]
     result = {
         "device": str(jax.devices()[0]),
         "batch": args.batch,
         "steps": args.steps,
+        # device step (conditioning prep + train step), loader excluded —
+        # the TPU-side number; the loader is host-core-bound here
         "steps_per_sec": 1.0 / float(np.mean(steady)),
         "samples_per_sec": args.batch / float(np.mean(steady)),
+        # end-to-end incl. the Python loader (1 CPU core in this env);
+        # includes the step-0 compile unless steps is large
+        "wall_steps_per_sec": args.steps / t_wall,
         "loss_first10_mean": float(np.mean(losses[:10])),
         "loss_last10_mean": float(np.mean(losses[-10:])),
         "loss_curve_every10": losses[::10],
