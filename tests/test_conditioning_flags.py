@@ -26,9 +26,12 @@ def _pipe(**model_over):
 
 @pytest.mark.parametrize("flags,cond_keys", [
     ({"use_gt_mask": True}, {"y512", "mask_cat"}),
-    ({"use_line_mask": False}, {"y512", "mask_cat", "mask_y512"}),
-    ({"train_VGG": False},
-     {"y512", "mask_cat", "mask_y512", "line_msk", "src_feat"}),
+    pytest.param({"use_line_mask": False},
+                 {"y512", "mask_cat", "mask_y512"},
+                 marks=pytest.mark.slow),
+    pytest.param({"train_VGG": False},
+                 {"y512", "mask_cat", "mask_y512", "line_msk", "src_feat"},
+                 marks=pytest.mark.slow),
 ])
 def test_flag_combination_runs(flags, cond_keys):
     pipe = _pipe(**flags)

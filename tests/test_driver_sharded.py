@@ -6,6 +6,8 @@ import os
 import jax
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow
 from PIL import Image
 
 from dvd_tpu.config import default_config

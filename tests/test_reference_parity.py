@@ -21,10 +21,13 @@ import pytest
 
 REF = "/root/reference"
 
-pytestmark = pytest.mark.skipif(
-    not os.path.isdir(os.path.join(REF, "train_settings")),
-    reason="reference repo not mounted",
-)
+pytestmark = [
+    pytest.mark.slow,
+    pytest.mark.skipif(
+        not os.path.isdir(os.path.join(REF, "train_settings")),
+        reason="reference repo not mounted",
+    ),
+]
 
 
 @pytest.fixture(scope="module")

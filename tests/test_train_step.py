@@ -75,8 +75,10 @@ def test_train_step_updates_params_and_ema():
     assert 0 < ema_diff < diff
 
 
+@pytest.mark.slow
 def test_loss_decreases_over_steps():
     # each step redraws (t, noise) -> compare averaged early vs late loss
+    # (real-hardware convergence evidence lives in docs/TRAIN_BENCH_r2.json)
     cfg, state, step = _setup(time_variant=False)
     batch = _batch()
     jstep = jax.jit(step)
@@ -89,6 +91,7 @@ def test_loss_decreases_over_steps():
     assert late < early * 1.02, (early, late, losses)
 
 
+@pytest.mark.slow
 def test_train_step_sharded_over_mesh():
     from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -108,6 +111,7 @@ def test_train_step_sharded_over_mesh():
         assert int(state2.step) == 1
 
 
+@pytest.mark.slow
 def test_train_step_microbatched():
     """Gradient accumulation (cfg.train.microbatch, reference
     train_util.py:370-375): batch 4 with microbatch 2 must run as a
@@ -133,6 +137,7 @@ def test_train_step_microbatched():
     assert max(jax.tree.leaves(moved)) > 0
 
 
+@pytest.mark.slow
 def test_per_sample_metrics_shapes_and_consistency():
     """Metrics expose per-sample t / loss / mse vectors (reference
     log_loss_dict consumes per-sample pairs, train_util.py:680-688)."""
@@ -197,6 +202,7 @@ def test_loss_aware_sampler_warmup_to_importance():
     assert frac2 > 0.5
 
 
+@pytest.mark.slow
 def test_train_step_updates_sampler_history_per_sample():
     cfg, state, step = _setup(time_variant=False)
     cfg = cfg.replace(train={"schedule_sampler": "loss-second-moment"})
@@ -225,6 +231,7 @@ def test_train_step_updates_sampler_history_per_sample():
                                rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_multi_rate_ema():
     # reference supports comma-separated EMA rates with one param copy per
     # rate (train_util.py:76-80); slower rate must move less per step
