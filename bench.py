@@ -20,9 +20,9 @@ import sys
 import time
 
 REFERENCE_IMGS_PER_SEC = 1.0
-BATCH = 8
+BATCH = 4     # measured single-chip optimum on v5e (throughput drops >4)
 WARMUP = 3
-ITERS = 15
+ITERS = 30
 
 
 def main():
@@ -51,15 +51,19 @@ def main():
     src = jax.random.uniform(jax.random.PRNGKey(1), (BATCH, 512, 512, 3))
     rng = jax.random.PRNGKey(2)
 
+    # A scalar that depends on EVERY iteration's output, read back to the
+    # host, is the only reliable completion barrier in this environment:
+    # through the remote-TPU tunnel, block_until_ready() can return while
+    # executions are still in flight, silently inflating throughput.
+    fuse = jax.jit(lambda xs: sum(x.astype(jnp.float32).sum() for x in xs))
+
     # warmup / compile (incl. steady-state dispatch pipelining)
-    for i in range(WARMUP):
-        out = run(src, jax.random.fold_in(rng, 1000 + i))
-    out.block_until_ready()
+    outs = [run(src, jax.random.fold_in(rng, 1000 + i)) for i in range(WARMUP)]
+    float(fuse(outs))
 
     t0 = time.perf_counter()
-    for i in range(ITERS):
-        out = run(src, jax.random.fold_in(rng, i))
-    out.block_until_ready()
+    outs = [run(src, jax.random.fold_in(rng, i)) for i in range(ITERS)]
+    float(fuse(outs))            # forces completion of all ITERS chains
     dt = time.perf_counter() - t0
 
     imgs_per_sec = BATCH * ITERS / dt

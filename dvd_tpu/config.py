@@ -146,7 +146,10 @@ class DataConfig:
     n_threads: int = 4
     val_batch_size: int = 1
     # device-side eval batching (the reference loops bs=1; we batch)
-    eval_device_batch: int = 8
+    # per-device serving batch: 4 is the measured single-chip optimum on
+    # v5e (38.7 imgs/s vs 35.5 at 8 — throughput *drops* beyond it); the
+    # driver multiplies by jax.device_count() for the global batch
+    eval_device_batch: int = 4
 
 
 @dataclass(frozen=True)

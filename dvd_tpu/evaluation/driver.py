@@ -225,6 +225,9 @@ def run_from_config(cfg: DvDConfig, rng: Optional[jax.Array] = None,
     ds = BenchmarkDataset.from_dir(cfg.data.eval_dataset,
                                    source_size=cfg.model.source_size)
     out_dir = os.path.join("vis_hp", cfg.data.eval_dataset_name, cfg.name)
+    # eval_device_batch is per-chip; scale to the global batch so the
+    # auto data mesh shards it back to the per-chip optimum
+    global_batch = cfg.data.eval_device_batch * max(1, jax.device_count())
     return run_benchmark(pipe, ds, out_dir,
-                         batch_size=cfg.data.eval_device_batch, rng=rng,
+                         batch_size=global_batch, rng=rng,
                          mesh="auto", profile_dir=profile_dir)

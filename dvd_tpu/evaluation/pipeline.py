@@ -206,6 +206,7 @@ class DewarpPipeline:
 
     def sampling_impl(self, dit_vars, cond, init_flow, init_feat, rng):
         """Diffusion stage (conditioning precomputed)."""
+        cond = self._hoist_pyramid(dit_vars, cond)
         result = ddim_sample_loop(
             self.make_dit_fn(dit_vars), self.sched, cond, init_flow,
             init_feat if self.cfg.model.time_variant else None,
@@ -217,6 +218,35 @@ class DewarpPipeline:
             clip_denoised=self.cfg.diffusion.clip_denoised,
         )
         return result.flow
+
+    def _hoist_pyramid(self, dit_vars, cond):
+        """Hoist the DiT's private conditioning pyramid out of the DDIM
+        loop.  Its input (``y512`` [+ ``mask_cat``]) is constant across the
+        T steps and the n_batch hypotheses, so the reference recomputes the
+        same 512^2 conv stack T*n_batch times per image
+        (``cross_model.py:586-594`` runs inside every denoiser call).
+        Computing it once here and feeding it through the ``src_feat``
+        bypass (the same code path the external-VGG conditioning uses) is
+        bit-identical: the DiT consumes it for the cond stream, the
+        ``seed_init_feat`` seeding, and the returned recurrent features.
+        Measured ~45 ms/call at an effective batch of 16 on v5e — 5 of 6
+        calls saved."""
+        if cond.get("src_feat") is not None:   # external VGG already given
+            return cond
+        from dvd_tpu.models.dit import ConditioningPyramid
+
+        m = self.cfg.model
+        y = cond["y512"]
+        if cond.get("mask_cat") is not None:
+            y = jnp.concatenate([y, cond["mask_cat"]], axis=-1)
+        feat = ConditioningPyramid(m.image_size, self.dit.dtype).apply(
+            {"params": dit_vars["params"]["pyramid"]},
+            y.astype(self.dit.dtype))
+        if m.image_size in (16, 32):
+            feat = resize_bilinear(feat, (m.image_size, m.image_size), True)
+        out = dict(cond)
+        out["src_feat"] = feat
+        return out
 
     def build_conditioning(self, source512: jnp.ndarray):
         return self.conditioning_impl(

@@ -47,6 +47,31 @@ def test_full_dewarp_flow(tiny_pipeline):
     assert (f >= -1).all() and (f <= 1).all()
 
 
+def test_hoisted_pyramid_matches_inline(tiny_pipeline):
+    """sampling_impl hoists the DiT's conditioning pyramid out of the DDIM
+    loop via the src_feat bypass; the result must equal the inline path
+    (pyramid recomputed inside every denoiser call, as the reference does).
+    """
+    from dvd_tpu.diffusion.sampler import ddim_sample_loop
+
+    pipe = tiny_pipeline
+    src = jax.random.uniform(jax.random.PRNGKey(3), (2, 128, 128, 3))
+    cond, init_flow, init_feat = pipe.build_conditioning(src)
+    assert cond.get("src_feat") is None   # production: train_VGG=True
+    rng = jax.random.PRNGKey(4)
+
+    hoisted = pipe.sampling_impl(pipe.dit_vars, cond, init_flow, init_feat,
+                                 rng)
+    inline = ddim_sample_loop(
+        pipe.make_dit_fn(pipe.dit_vars), pipe.sched, cond, init_flow,
+        init_feat, rng=rng, latent_size=pipe.cfg.model.image_size,
+        n_batch=pipe.cfg.diffusion.n_batch, time_variant=True,
+        eta=0.0, clip_denoised=False,
+    ).flow
+    np.testing.assert_allclose(np.asarray(hoisted), np.asarray(inline),
+                               rtol=1e-5, atol=1e-6)
+
+
 def test_unwarp_native_matches_fixed():
     """The shape-static padded unwarp must agree with the static-shape
     reference implementation on the valid region."""
