@@ -35,6 +35,36 @@ def save_png(path: str, arr: np.ndarray) -> None:
     Image.fromarray(np.clip(arr, 0, 255).astype(np.uint8)).save(path)
 
 
+def prefetched_batches(dataset, batch_size: int, depth: int = 2):
+    """Yield ``dataset.batches(batch_size)`` items produced by a background
+    thread (cv2 decode + padding overlap device compute).
+
+    Producer exceptions (e.g. an unreadable image) are re-raised in the
+    consumer — a dead producer that never enqueues its sentinel would
+    otherwise hang the main loop on ``Queue.get()`` forever."""
+    import queue
+    import threading
+
+    batch_q: "queue.Queue" = queue.Queue(maxsize=depth)
+
+    def _producer():
+        try:
+            for item in dataset.batches(batch_size):
+                batch_q.put(item)
+            batch_q.put(None)
+        except BaseException as e:  # noqa: BLE001 - re-raised in consumer
+            batch_q.put(e)
+
+    threading.Thread(target=_producer, daemon=True).start()
+    while True:
+        item = batch_q.get()
+        if item is None:
+            return
+        if isinstance(item, BaseException):
+            raise item
+        yield item
+
+
 def run_benchmark(
     pipe: DewarpPipeline,
     dataset: BenchmarkDataset,
@@ -92,25 +122,9 @@ def run_benchmark(
     # overlap host work with device compute: dataset batches are produced
     # by a background thread (cv2 decode + padding), and PNG encoding runs
     # on a writer pool so it never blocks the next dispatch
-    import queue
-    import threading
     from concurrent.futures import ThreadPoolExecutor
 
-    batch_q: "queue.Queue" = queue.Queue(maxsize=2)
-
-    def _producer():
-        for item in dataset.batches(batch_size):
-            batch_q.put(item)
-        batch_q.put(None)
-
-    threading.Thread(target=_producer, daemon=True).start()
-
-    def _batches():
-        while True:
-            item = batch_q.get()
-            if item is None:
-                return
-            yield item
+    _batches = lambda: prefetched_batches(dataset, batch_size)
 
     writer = ThreadPoolExecutor(max_workers=4)
     pending = []
@@ -204,7 +218,11 @@ def run_benchmark(
             ("unwarp", lambda: unwarp(padded, hw, flow)),
         ):
             t0 = time.perf_counter()
-            jax.block_until_ready(fn())
+            # scalar readback of an output element is the reliable
+            # completion barrier through the remote tunnel
+            # (block_until_ready can return with executions in flight)
+            leaf = jax.tree.leaves(fn())[0]
+            float(jnp.ravel(leaf)[0].astype(jnp.float32))
             stage[name] = round(time.perf_counter() - t0, 4)
         stage["sample"] = round(
             max(stage["sample"] - stage["conditioning"], 0.0), 4)

@@ -58,3 +58,33 @@ def test_on_disk_round_trip_through_production_loader(tmp_path):
         assert k in out, k
     assert out["source_image"].shape == (512, 512, 3)
     assert np.isfinite(out["flow_map"]).all()
+
+
+def test_prefetched_batches_propagates_errors():
+    """A producer exception (unreadable image) must surface in the
+    consumer instead of hanging the driver on Queue.get() forever."""
+    import pytest
+
+    from dvd_tpu.evaluation.driver import prefetched_batches
+
+    class GoodThenBad:
+        def batches(self, bs):
+            yield {"count": bs}
+            raise IOError("unreadable image /x.png")
+
+    it = prefetched_batches(GoodThenBad(), 2)
+    assert next(it)["count"] == 2
+    with pytest.raises(IOError, match="unreadable"):
+        next(it)
+
+
+def test_prefetched_batches_order_and_termination():
+    from dvd_tpu.evaluation.driver import prefetched_batches
+
+    class DS:
+        def batches(self, bs):
+            for i in range(5):
+                yield {"i": i}
+
+    got = [b["i"] for b in prefetched_batches(DS(), 1)]
+    assert got == [0, 1, 2, 3, 4]

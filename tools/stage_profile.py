@@ -36,15 +36,19 @@ def main():
     cond_fn, sample_fn = pipe.jitted_stages()
     unwarp = jax.jit(unwarp_fixed)
 
+    import jax.numpy as jnp
+
+    # dependent-scalar readback: the only reliable completion barrier
+    # through the remote tunnel (block_until_ready can return with
+    # executions still in flight)
+    fuse = jax.jit(lambda xs: sum(
+        x.astype(jnp.float32).sum() for x in jax.tree.leaves(xs)))
+
     def timed(fn, *a, iters=args.iters):
-        out = fn(*a)
-        jax.block_until_ready(out)        # compile + warm
-        out = fn(*a)
-        jax.block_until_ready(out)
+        float(fuse([fn(*a), fn(*a)]))     # compile + warm
         t0 = time.perf_counter()
-        for _ in range(iters):
-            out = fn(*a)
-        jax.block_until_ready(out)
+        outs = [fn(*a) for _ in range(iters)]
+        float(fuse(outs))
         return (time.perf_counter() - t0) / iters
 
     rows = []
