@@ -57,9 +57,11 @@ def main():
     # executions are still in flight, silently inflating throughput.
     fuse = jax.jit(lambda xs: sum(x.astype(jnp.float32).sum() for x in xs))
 
-    # warmup / compile (incl. steady-state dispatch pipelining)
+    # warmup / compile (incl. steady-state dispatch pipelining); jit
+    # caches by pytree structure, so warm fuse at the ITERS-length list
+    # it will be timed with or its compile lands inside the timed window
     outs = [run(src, jax.random.fold_in(rng, 1000 + i)) for i in range(WARMUP)]
-    float(fuse(outs))
+    float(fuse([outs[-1]] * ITERS))
 
     t0 = time.perf_counter()
     outs = [run(src, jax.random.fold_in(rng, i)) for i in range(ITERS)]

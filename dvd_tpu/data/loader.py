@@ -41,6 +41,16 @@ class PrefetchLoader:
             raise ValueError((process_index, process_count))
         self.process_index = process_index
         self.process_count = process_count
+        if drop_last:
+            # with fewer local samples than a batch, drop_last yields zero
+            # batches per epoch and the producer would spin through epochs
+            # while the consumer blocks on q.get() forever — fail loudly
+            n_local = len(range(process_index, len(dataset), process_count))
+            if n_local < batch_size:
+                raise ValueError(
+                    f"process {process_index}/{process_count} holds "
+                    f"{n_local} samples < batch_size {batch_size}; "
+                    "shrink the batch or grow the dataset")
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         epoch = 0

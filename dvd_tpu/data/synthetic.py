@@ -17,7 +17,9 @@ so ``unwarp(img, bm) ≈ D`` holds exactly and the GT flow is learnable.
 
 from __future__ import annotations
 
+import json
 import os
+import shutil
 from typing import Tuple
 
 import numpy as np
@@ -57,21 +59,12 @@ def _smooth_field(size: int, magnitude: float, rng: np.random.RandomState
 
 
 def _invert_field(u: np.ndarray, iters: int = 10) -> np.ndarray:
-    """Given psi(q) = q + u(q), return v with psi(p + v(p)) = p
-    (fixed point v = -u(p + v))."""
-    size = u.shape[0]
-    ys, xs = np.meshgrid(np.arange(size, dtype=np.float32),
-                         np.arange(size, dtype=np.float32), indexing="ij")
-    v = -u.copy()
-    for _ in range(iters):
-        mx = xs + v[..., 0]
-        my = ys + v[..., 1]
-        ux = cv2.remap(u[..., 0], mx, my, cv2.INTER_LINEAR,
-                       borderMode=cv2.BORDER_REPLICATE)
-        uy = cv2.remap(u[..., 1], mx, my, cv2.INTER_LINEAR,
-                       borderMode=cv2.BORDER_REPLICATE)
-        v = -np.stack([ux, uy], -1)
-    return v
+    """Given psi(q) = q + u(q), return v with psi(p + v(p)) = p — the same
+    fixed-point inversion as the metric calibration's oracle flow (one
+    implementation, two call sites)."""
+    from dvd_tpu.evaluation.calibrate import oracle_registration_flow
+
+    return oracle_registration_flow(u, iters=iters)
 
 
 def make_synthetic_sample(size: int, seed: int, magnitude: float = None
@@ -112,12 +105,30 @@ def write_synthetic_doc3d(root: str, n: int, size: int = 448,
     """Write n samples under root in Doc3D layout; returns root.
     bm.mat is stored the way ``load_bm_mat`` reads it: an HDF5 ``bm``
     dataset whose ``transpose((2,1,0))`` yields (H, W, 2) coords in the
-    [0, size-1] range (the reference's MATLAB-v7.3 axis order)."""
+    [0, size-1] range (the reference's MATLAB-v7.3 axis order).
+
+    Idempotent per (seed, size): a manifest records the generation
+    parameters, and a rerun with different ones regenerates everything
+    instead of silently mixing generations (or silently ignoring the new
+    seed)."""
     import h5py
 
     if cv2 is None:
         raise RuntimeError("cv2 required to synthesize documents")
     os.makedirs(root, exist_ok=True)
+    manifest_path = os.path.join(root, "synthetic_manifest.json")
+    manifest = {"seed": seed, "size": size}
+    stale = True
+    if os.path.isfile(manifest_path):
+        with open(manifest_path) as f:
+            stale = json.load(f) != manifest
+    if stale:
+        for name in os.listdir(root):
+            d = os.path.join(root, name)
+            if name.startswith("syn_") and os.path.isdir(d):
+                shutil.rmtree(d)
+        with open(manifest_path, "w") as f:
+            json.dump(manifest, f)
     for i in range(n):
         d = os.path.join(root, f"syn_{i:05d}")
         if os.path.isfile(os.path.join(d, "recon.png")):

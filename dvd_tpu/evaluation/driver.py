@@ -108,11 +108,14 @@ def run_benchmark(
 
     # uint8 on the wire in both directions: host<->device copies ride a
     # tunnel here, so fp32 canvases are 4x the bytes for nothing.
-    # unwarp_native tiles its final gather over output rows internally
+    # unwarp_native tiles its gathers over output rows internally
     # (grid_sample row_chunk), so HBM transients stay bounded at any
-    # canvas size and the whole batch unwarps in one dispatch.
+    # canvas size and the whole batch unwarps in one dispatch; the chunk
+    # is sized to the per-device shard of the batch.
+    data_size = mesh.shape["data"] if mesh is not None else 1
     unwarp = jax.jit(lambda p, hw, f: jnp.clip(jnp.round(
-        unwarp_native(p.astype(jnp.float32), hw, f)), 0.0, 255.0
+        unwarp_native(p.astype(jnp.float32), hw, f,
+                      batch_divisor=data_size)), 0.0, 255.0
     ).astype(jnp.uint8))
 
     def dewarp(src, step_rng):

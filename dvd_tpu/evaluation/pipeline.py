@@ -282,6 +282,9 @@ def unwarp_native(
     hw: jnp.ndarray,              # (B, 2) true (H, W) per image
     flow: jnp.ndarray,            # (B, S, S, 2) offset field
     shrink: float = UNWARP_SHRINK,
+    batch_divisor: int = 1,       # data-mesh size: B is the *global* batch
+    # at trace time, but transients are per-device — size row chunks to
+    # the per-shard batch or the lax.map serializes devices x too finely
 ) -> jnp.ndarray:
     """Native-resolution unwarp inside a fixed (P, P) canvas.
 
@@ -292,6 +295,7 @@ def unwarp_native(
     every benchmark image size; pixels beyond (H, W) are don't-care.
     """
     b, p, _, c = source_padded.shape
+    nb = max(1, b // max(1, batch_divisor))  # per-device batch for chunking
     h = hw[:, 0].astype(jnp.float32)[:, None, None]
     w = hw[:, 1].astype(jnp.float32)[:, None, None]
 
@@ -305,8 +309,11 @@ def unwarp_native(
         [jnp.broadcast_to(gx, (b, p, p)), jnp.broadcast_to(gy, (b, p, p))],
         axis=-1,
     )
+    # row-tiled like the final gather below: this output is (B, P, P, 2) —
+    # canvas-sized — so its corner transients are just as unbounded
     flow_native = grid_sample(flow, up_grid, align_corners=True,
-                              padding_mode="border")  # (B, P, P, 2)
+                              padding_mode="border",
+                              row_chunk=auto_row_chunk(nb, p, p, 2))
 
     base_x = jj / (w - 1.0)
     base_y = ii / (h - 1.0)
@@ -322,7 +329,7 @@ def unwarp_native(
     # 2048^2 batch of 8 used to peak ~2 GB and OOM) — see grid_sample.py
     return grid_sample(source_padded, canvas_grid, align_corners=True,
                        padding_mode="zeros",
-                       row_chunk=auto_row_chunk(b, p, p, c))
+                       row_chunk=auto_row_chunk(nb, p, p, c))
 
 
 def unwarp_fixed(source: jnp.ndarray, flow: jnp.ndarray,

@@ -15,8 +15,9 @@ Implementation notes (TPU):
   2048^2 RGB batch of 8 peaked at ~2 GB and OOMed a 16 GB chip).  Pass
   ``row_chunk`` (or use the auto threshold in :func:`warp_big`) to tile
   the computation over output-row chunks with an internal ``lax.scan`` —
-  intermediates are bounded by the chunk size, the result is bitwise
-  identical, and it stays differentiable.
+  intermediates are bounded by the chunk size, the result matches the
+  unchunked path to within one ulp (XLA fusion/FMA reordering), and it
+  stays differentiable.
 - A fused Pallas kernel was evaluated and rejected on evidence: Mosaic
   lowers ``lax.gather`` only to ``tpu.dynamic_gather``, which is a
   single-vreg shuffle — index ranges beyond 8 sublanes / 128 lanes fail
@@ -123,7 +124,12 @@ def grid_sample(
     img_flat = img.reshape(n * h * w, c)
     batch_off = (jnp.arange(n, dtype=jnp.int32) * (h * w))[:, None, None]
 
-    if row_chunk and 0 < row_chunk < ho and ho % row_chunk == 0:
+    if row_chunk and 0 < row_chunk < ho:
+        if ho % row_chunk:
+            # shrink to the nearest divisor rather than silently falling
+            # back to the unchunked (OOM-prone) full-size gather
+            while ho % row_chunk:
+                row_chunk -= 1
         k = ho // row_chunk
         # (k, n, row_chunk, wo) chunk-major so lax.map runs over chunks
         cgx = gx.reshape(n, k, row_chunk, wo).transpose(1, 0, 2, 3)

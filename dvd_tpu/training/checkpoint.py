@@ -115,7 +115,27 @@ def latest_checkpoint(workspace: str) -> Optional[str]:
 
 
 def restore_train_state(path: str, template) -> Any:
+    import dataclasses
+
     import orbax.checkpoint as ocp
 
     ckptr = ocp.StandardCheckpointer()
-    return ckptr.restore(path, template)
+    try:
+        return ckptr.restore(path, template)
+    except Exception:
+        # migration: checkpoints written before multi-rate EMA stored
+        # ema_params as a single param tree, not a tuple of trees.  Retry
+        # with the legacy layout and broadcast the restored tree to every
+        # configured rate (the reference's find_ema_checkpoint likewise
+        # falls back to the model params when a rate file is missing,
+        # train_util.py:190-204).
+        if not (isinstance(template.ema_params, tuple)
+                and len(template.ema_params) >= 1):
+            raise
+        legacy = dataclasses.replace(template,
+                                     ema_params=template.ema_params[0])
+        restored = ckptr.restore(path, legacy)
+        return dataclasses.replace(
+            restored,
+            ema_params=tuple(restored.ema_params
+                             for _ in template.ema_params))

@@ -93,6 +93,30 @@ def put_global_batch(raw: Dict[str, np.ndarray], batch_sh) -> Dict[str, jnp.ndar
             for k, v in raw.items()}
 
 
+def fetch_metrics(metrics: Dict[str, jnp.ndarray]) -> Dict[str, np.ndarray]:
+    """Host values of step metrics, multi-host safe.
+
+    Replicated scalars fetch directly.  Per-sample vectors sharded over a
+    multi-host ``data`` axis are NOT fully addressable — ``np.asarray``
+    raises — so each process fetches its own addressable shards (its local
+    samples).  Each host then logs its local quartiles and the KVLogger
+    reduces across hosts, matching the reference's per-rank logging +
+    ``mpi_weighted_mean`` (logger.py:413-440).
+    """
+    def fetch(v):
+        if isinstance(v, jax.Array) and not v.is_fully_addressable:
+            parts = {}  # dedupe model-axis replicas by data-axis offset
+            for s in v.addressable_shards:
+                start = (s.index[0].start or 0) if s.index else 0
+                if start not in parts:
+                    parts[start] = np.asarray(s.data)
+            vals = [parts[k] for k in sorted(parts)]
+            return vals[0] if len(vals) == 1 else np.concatenate(vals, axis=0)
+        return np.asarray(v)
+
+    return {k: fetch(v) for k, v in metrics.items()}
+
+
 def train(cfg: DvDConfig, data_iter: Iterator[Dict[str, np.ndarray]],
           max_steps: Optional[int] = None,
           logger: Optional[KVLogger] = None) -> None:
@@ -153,7 +177,7 @@ def train(cfg: DvDConfig, data_iter: Iterator[Dict[str, np.ndarray]],
             state, metrics = step_fn(state, batch, rng)
 
             if step % cfg.train.log_interval == 0:
-                m = {k: np.asarray(v) for k, v in metrics.items()}
+                m = fetch_metrics(metrics)
                 log_loss_quartiles(logger, sched.num_timesteps, m.pop("t"),
                                    {"loss": m.pop("loss_per_sample"),
                                     "mse": m.pop("mse_per_sample")})

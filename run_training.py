@@ -76,9 +76,15 @@ def main(argv=None):
 
     runtime.enable_compilation_cache()
     if args.synthetic:
+        import os
+
         from dvd_tpu.data.synthetic import write_synthetic_doc3d
 
-        root = cfg.data.data_root or "checkpoints/synthetic_doc3d"
+        # never generate into a real dataset root: make_doc3d_sample_list
+        # globs every sample dir, so syn_* dirs written alongside real
+        # Doc3D samples would silently pollute later real training runs
+        root = (os.path.join(cfg.data.data_root, "synthetic")
+                if cfg.data.data_root else "checkpoints/synthetic_doc3d")
         write_synthetic_doc3d(root, args.synthetic, seed=args.seed)
         cfg = cfg.replace(data={"data_root": root})
     loader = data_iterator(cfg, args.seed)

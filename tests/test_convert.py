@@ -125,3 +125,36 @@ def test_validate_against_reports_mismatches():
     bad = {"params": {"a": {"kernel": np.zeros((3, 2))}, "b": {"bias": np.zeros(1)}}}
     problems = C.validate_against(bad, ref)
     assert len(problems) == 2
+
+
+def test_restore_train_state_migrates_single_tree_ema(tmp_path):
+    """Checkpoints written before multi-rate EMA stored ema_params as ONE
+    tree; restoring into a tuple-of-trees template must migrate, not die
+    on a tree-structure mismatch."""
+    import dataclasses
+
+    import jax.numpy as jnp
+    import orbax.checkpoint as ocp
+
+    from dvd_tpu.training.checkpoint import restore_train_state
+    from dvd_tpu.training.train_state import TrainState
+
+    tree = {"w": jnp.ones((3,)) * 5.0}
+    legacy = TrainState(step=jnp.asarray(7), params=tree,
+                        opt_state={"m": jnp.zeros((3,))},
+                        ema_params=tree,            # pre-migration layout
+                        batch_stats={}, sampler_state=None)
+    path = str(tmp_path / "state_7")
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, legacy)
+    ckptr.wait_until_finished()
+
+    template = dataclasses.replace(
+        legacy, ema_params=(jax.tree.map(jnp.zeros_like, tree),
+                            jax.tree.map(jnp.zeros_like, tree)))
+    restored = restore_train_state(path, template)
+    assert isinstance(restored.ema_params, tuple)
+    assert len(restored.ema_params) == 2
+    for t in restored.ema_params:
+        np.testing.assert_array_equal(np.asarray(t["w"]), 5.0)
+    assert int(restored.step) == 7

@@ -92,6 +92,13 @@ _CHILD = textwrap.dedent("""
         batch = put_global_batch(local, batch_sh)
         state, metrics = step_fn(state, batch, jax.random.PRNGKey(0))
         loss = float(metrics["loss"])
+        # the logging path must survive multi-host-sharded per-sample
+        # metrics (np.asarray on them raises "spans non-addressable")
+        from dvd_tpu.training.train_loop import fetch_metrics
+        m = fetch_metrics(metrics)
+        assert m["mse_per_sample"].shape == (4,), m["mse_per_sample"].shape
+        assert m["t"].shape == (4,)
+        assert np.isfinite(m["loss"])
     if pid == 0:
         json.dump({"loss": loss}, open(out_path, "w"))
 """)

@@ -140,3 +140,21 @@ def test_auto_row_chunk_thresholds():
     # large canvas: chunked, divides rows evenly, bounded transients
     ch = auto_row_chunk(8, 2048, 2048, 3)
     assert ch is not None and 2048 % ch == 0 and ch < 2048
+
+
+def test_grid_sample_non_divisor_row_chunk_shrinks():
+    """An explicit row_chunk that doesn't divide the output rows must
+    still bound transients (shrink to a divisor), never silently fall
+    back to the unchunked full-size gather."""
+    import jax
+    import jax.numpy as jnp
+
+    r = np.random.RandomState(0)
+    img = jnp.asarray(r.rand(2, 9, 9, 3).astype(np.float32))
+    grid = jnp.asarray((r.rand(2, 10, 6, 2) * 2 - 1).astype(np.float32))
+    from dvd_tpu.ops.grid_sample import grid_sample
+
+    ref = grid_sample(img, grid)
+    out = grid_sample(img, grid, row_chunk=7)   # 10 % 7 != 0 -> shrinks to 5
+    # one-ulp differences allowed: chunking changes XLA fusion/FMA order
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)

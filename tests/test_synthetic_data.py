@@ -88,3 +88,52 @@ def test_prefetched_batches_order_and_termination():
 
     got = [b["i"] for b in prefetched_batches(DS(), 1)]
     assert got == [0, 1, 2, 3, 4]
+
+
+def test_loader_refuses_sub_batch_local_slice():
+    """drop_last with fewer local samples than a batch used to busy-spin
+    the producer while the consumer hung on q.get() forever."""
+    import pytest
+
+    from dvd_tpu.data.loader import PrefetchLoader
+
+    class DS:
+        def __len__(self):
+            return 6
+
+        def __getitem__(self, i, seed=0):
+            return {"x": np.zeros((2,), np.float32)}
+
+    with pytest.raises(ValueError, match="samples < batch_size"):
+        PrefetchLoader(DS(), batch_size=10, num_workers=1)
+    # multi-host: 12 globally but 6 per process
+    with pytest.raises(ValueError, match="samples < batch_size"):
+        PrefetchLoader(_Sized12(), batch_size=10, num_workers=1,
+                       process_index=0, process_count=2)
+
+
+class _Sized12:
+    def __len__(self):
+        return 12
+
+    def __getitem__(self, i, seed=0):
+        return {"x": np.zeros((2,), np.float32)}
+
+
+def test_synthetic_manifest_regenerates_on_seed_change(tmp_path):
+    import json
+
+    from dvd_tpu.data.synthetic import write_synthetic_doc3d
+
+    root = str(tmp_path / "syn")
+    write_synthetic_doc3d(root, 1, seed=1)
+    import cv2
+    img1 = cv2.imread(f"{root}/syn_00000/img.png")
+    # same seed: no regeneration (mtime-insensitive check via content)
+    write_synthetic_doc3d(root, 1, seed=1)
+    assert (cv2.imread(f"{root}/syn_00000/img.png") == img1).all()
+    # new seed: stale samples are replaced, not silently reused
+    write_synthetic_doc3d(root, 1, seed=2)
+    img2 = cv2.imread(f"{root}/syn_00000/img.png")
+    assert not (img2 == img1).all()
+    assert json.load(open(f"{root}/synthetic_manifest.json"))["seed"] == 2

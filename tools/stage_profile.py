@@ -45,7 +45,8 @@ def main():
         x.astype(jnp.float32).sum() for x in jax.tree.leaves(xs)))
 
     def timed(fn, *a, iters=args.iters):
-        float(fuse([fn(*a), fn(*a)]))     # compile + warm
+        # warm fn AND fuse at the iters-length structure jit caches on
+        float(fuse([fn(*a)] * iters))
         t0 = time.perf_counter()
         outs = [fn(*a) for _ in range(iters)]
         float(fuse(outs))
