@@ -95,9 +95,15 @@ def ddim_step(
         pred_xstart * jnp.sqrt(alpha_bar_prev)
         + jnp.sqrt(jnp.maximum(1.0 - alpha_bar_prev - sigma**2, 0.0)) * eps
     )
-    if eta == 0.0 or noise is None:
+    if eta == 0.0:
         sample = mean_pred
     else:
+        if noise is None:
+            # silently skipping the stochastic term would shrink the eps
+            # coefficient by sigma^2 without compensation — neither eta=0
+            # nor eta>0 DDIM (the reference always draws noise internally,
+            # gaussian_diffusion.py:479)
+            raise ValueError("ddim_step with eta > 0 requires noise")
         nonzero = (t != 0).astype(x_t.dtype).reshape((-1,) + (1,) * (nd - 1))
         sample = mean_pred + nonzero * sigma * noise
     return DDIMStep(sample=sample, pred_xstart=pred_xstart)

@@ -175,11 +175,14 @@ def calc_bpd_loop(
             sched, x_start, x_t, t, pred_xstart, clip_denoised=clip_denoised
         )
         mse = mean_flat((terms["pred_xstart"] - x_start) ** 2)
-        return carry, (terms["output"], mse)
+        eps = G.predict_eps_from_xstart(sched, x_t, t, terms["pred_xstart"])
+        eps_mse = mean_flat((eps - noise) ** 2)
+        return carry, (terms["output"], mse, eps_mse)
 
-    _, (vb, xstart_mse) = jax.lax.scan(body, None, timesteps)
+    _, (vb, xstart_mse, eps_mse) = jax.lax.scan(body, None, timesteps)
     vb = vb[::-1]                    # ascending t, like the reference
     xstart_mse = xstart_mse[::-1]
+    eps_mse = eps_mse[::-1]
     prior = prior_bpd(sched, x_start)
     total = vb.sum(axis=0) + prior
     return {
@@ -187,4 +190,7 @@ def calc_bpd_loop(
         "prior_bpd": prior,
         "vb": vb,
         "xstart_mse": xstart_mse,
+        # per-timestep eps-MSE, the reference's 'mse' key
+        # (gaussian_diffusion.py:1163-1177)
+        "mse": eps_mse,
     }

@@ -93,7 +93,11 @@ def composed_warp_loss(
     model_output, _ = model_fn(
         x_t, t.astype(jnp.float32), cond,
         init_flow=init_flow, init_feat=init_feat,
-        seed_init_feat=(t == sched.num_timesteps - 1),
+        # no t==T-1 feature seeding here: the reference model seeds only
+        # when iter==True (cross_model.py:596-601), and this is the
+        # iter=False loss — a tv model trained through this path receives
+        # r = [init_flow, init_feat-as-given], exactly as upstream
+        seed_init_feat=None,
         remap_timesteps=False,
     )
     return _composed_terms(sched, x_start_pm, model_output, f_inter_pm, mask)

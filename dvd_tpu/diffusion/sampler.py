@@ -3,7 +3,9 @@
 This replaces the reference's host-side Python sampling loop
 (``gaussian_diffusion.py:537-644``) with a single traced computation:
 
-- the T-step loop is unrolled at trace time (T=3 in production);
+- the T-step loop is one ``lax.scan`` with a single traced copy of the
+  denoiser (``unroll=True`` is available; the scan keeps the executable
+  ~T-times smaller, which matters under remote-compile size limits);
 - the ``n_batch`` multi-hypothesis trick becomes a pure batch dimension
   (B images x n_batch hypotheses in one model call);
 - the time-variant recurrent state (init_flow <- pred_flow, init_feat <-
@@ -100,7 +102,7 @@ def ddim_sample_loop(
             cond_r,
             init_flow=fl,
             init_feat=ft,
-            seed_init_feat=jnp.full((nb,), True) & first,
+            seed_init_feat=jnp.full((nb,), first),
             remap_timesteps=True,
         )
         step = G.ddim_step(sched, x, t, pred_x0, eta=eta,
@@ -156,9 +158,12 @@ def rollout_states_for_training(
 
     x = jax.random.normal(rng, (b, s, s, 2), dtype=jnp.float32)
 
-    # states[k] = recurrent state to use for a sample with t == k
-    flow_states = [init_flow] * T
-    feat_states = [init_feat] * T
+    # running per-sample selection: out_* holds the recurrent state for
+    # each sample's own timestep (init state for t == T-1; a (T, B, ...)
+    # stack + gather would keep T copies of the 256-ch feature map live —
+    # ~300 MB at production shapes — for no benefit)
+    ti = t.astype(jnp.int32)
+    out_flow, out_feat = init_flow, init_feat
 
     cur_flow, cur_feat = init_flow, init_feat
     pred_flow, feat = init_flow, init_feat
@@ -187,13 +192,9 @@ def rollout_states_for_training(
         # t == i-1 would receive (reference :948,:955-970: the *handed-off*
         # flow is clamped, then init_feat <- warp(feat, clamped flow))
         handoff = jnp.clip(pred_flow, -1.0, 1.0)
-        flow_states[i - 1] = handoff
-        feat_states[i - 1] = warp(feat, flow_to_grid(handoff))
+        sel = (ti == i - 1)[:, None, None, None]
+        out_flow = jnp.where(sel, handoff, out_flow)
+        out_feat = jnp.where(sel, warp(feat, flow_to_grid(handoff)), out_feat)
 
-    flow_stack = jnp.stack(flow_states)   # (T, B, S, S, 2)
-    feat_stack = jnp.stack(feat_states)   # (T, B, S, S, C)
-    sel = t.astype(jnp.int32)
-    bidx = jnp.arange(b)
-    out_flow = jax.lax.stop_gradient(flow_stack[sel, bidx])
-    out_feat = jax.lax.stop_gradient(feat_stack[sel, bidx])
-    return out_flow, out_feat
+    return (jax.lax.stop_gradient(out_flow),
+            jax.lax.stop_gradient(out_feat))
