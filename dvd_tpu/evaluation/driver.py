@@ -215,17 +215,19 @@ def run_benchmark(
         # attributable per stage across rounds
         src, padded, hw, step_rng = last_inputs
         stage = {}
+        # scalar readback of an output element is the reliable completion
+        # barrier through the remote tunnel (block_until_ready can return
+        # with executions in flight); jitted so the extract is one
+        # dispatch, not three eager tunnel round-trips
+        scalar = jax.jit(lambda l: jnp.ravel(l)[0].astype(jnp.float32))
         for name, fn in (
             ("conditioning", lambda: cond_fn(src)),
             ("sample", lambda: sample_fn(*cond_fn(src), step_rng)),
             ("unwarp", lambda: unwarp(padded, hw, flow)),
         ):
+            float(scalar(jax.tree.leaves(fn())[0]))   # warm scalar-extract
             t0 = time.perf_counter()
-            # scalar readback of an output element is the reliable
-            # completion barrier through the remote tunnel
-            # (block_until_ready can return with executions in flight)
-            leaf = jax.tree.leaves(fn())[0]
-            float(jnp.ravel(leaf)[0].astype(jnp.float32))
+            float(scalar(jax.tree.leaves(fn())[0]))
             stage[name] = round(time.perf_counter() - t0, 4)
         stage["sample"] = round(
             max(stage["sample"] - stage["conditioning"], 0.0), 4)
