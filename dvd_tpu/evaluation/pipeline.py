@@ -311,9 +311,15 @@ def unwarp_native(
     )
     # row-tiled like the final gather below: this output is (B, P, P, 2) —
     # canvas-sized — so its corner transients are just as unbounded
-    flow_native = grid_sample(flow, up_grid, align_corners=True,
-                              padding_mode="border",
-                              row_chunk=auto_row_chunk(nb, p, p, 2))
+    from dvd_tpu.ops.pallas import grid_sample as pgs
+
+    if pgs.supports(flow.shape, up_grid.shape):
+        flow_native = pgs.grid_sample_pallas(flow, up_grid,
+                                             padding_mode="border")
+    else:
+        flow_native = grid_sample(flow, up_grid, align_corners=True,
+                                  padding_mode="border",
+                                  row_chunk=auto_row_chunk(nb, p, p, 2))
 
     base_x = jj / (w - 1.0)
     base_y = ii / (h - 1.0)
@@ -325,6 +331,11 @@ def unwarp_native(
     px = (samp_x + 1.0) * (w - 1.0) / (p - 1.0) - 1.0
     py = (samp_y + 1.0) * (h - 1.0) / (p - 1.0) - 1.0
     canvas_grid = jnp.stack([px, py], axis=-1)
+    if pgs.supports(source_padded.shape, canvas_grid.shape):
+        # VMEM-resident Pallas gather: 4.7x XLA's gather on v5e and no
+        # output-sized HBM transients (tools/gather_probe.py)
+        return pgs.grid_sample_pallas(source_padded, canvas_grid,
+                                      padding_mode="zeros")
     # row-tiled gather: bounds the canvas-sized corner transients (a
     # 2048^2 batch of 8 used to peak ~2 GB and OOM) — see grid_sample.py
     return grid_sample(source_padded, canvas_grid, align_corners=True,
@@ -335,7 +346,12 @@ def unwarp_native(
 def unwarp_fixed(source: jnp.ndarray, flow: jnp.ndarray,
                  shrink: float = UNWARP_SHRINK) -> jnp.ndarray:
     """Unwarp at the source's own (static) resolution."""
+    from dvd_tpu.ops.pallas import grid_sample as pgs
+
     h, w = source.shape[1:3]
     flow_hw = resize_bilinear(flow, (h, w), align_corners=True)
     g = (flow_hw + base_grid(h, w, flow_hw.dtype)) * 2.0 - 1.0
-    return grid_sample(source, g * shrink, align_corners=True, padding_mode="zeros")
+    g = g * shrink
+    if pgs.supports(source.shape, g.shape):
+        return pgs.grid_sample_pallas(source, g, padding_mode="zeros")
+    return grid_sample(source, g, align_corners=True, padding_mode="zeros")

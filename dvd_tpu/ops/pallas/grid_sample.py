@@ -1,0 +1,184 @@
+"""Pallas TPU kernel for the grid_sample gather (the unwarp hot path).
+
+Why this exists: XLA's TPU gather costs ~5 ns *per index* regardless of
+slice size (measured on v5e, ``tools/gather_probe.py``), so the 4-corner
+bilinear gather of a 512^2 batch-4 unwarp floors at ~20 ms — pure gather,
+zero FLOPs.  This kernel keeps each image plane resident in VMEM and
+turns the gather into strip-mined lane-shuffles:
+
+- the output is tiled into (BAND x 128) vregs;
+- per tile, the *dynamic* y/x bounding box of the sampled coordinates is
+  reduced on the VPU and drives ``fori_loop``s over only the (8 x 128)
+  source blocks the tile actually touches — smooth dewarping flows touch
+  ~2-6 blocks per tile instead of the whole plane, and wild flows stay
+  exact (the loops just run longer);
+- within a block, each source row is sublane-broadcast and the two
+  horizontal corners are fetched with lane-wise ``take_along_axis``
+  (Mosaic ``tpu.dynamic_gather``, range 128), then mask-accumulated with
+  the bilinear weights.
+
+Exactness: identical corner/weight arithmetic to
+:func:`dvd_tpu.ops.grid_sample.grid_sample` (torch ``F.grid_sample``
+parity, ``align_corners=True``), f32 accumulation; the unit tests assert
+allclose at 1e-6 vs the jnp path on both interpret and real backends.
+
+Layout: the kernel consumes *planar* (N, C, H, W) images — NHWC's C=3
+would waste 125/128 lanes.  The wrapper transposes in/out (one cheap XLA
+transpose each way at 512^2; callers that can keep planar should).
+
+Forward-only: the training/loss warps stay on the differentiable jnp
+path (they run at 64^2 where XLA's gather is not the bottleneck).
+
+Reference hot kernel being replaced: ``datasets/utils/warping.py:26-73``.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANE = 128
+BAND = 8          # output rows per grid step (f32 sublane tile)
+
+
+def _gather_kernel(gx_ref, gy_ref, img_ref, out_ref, *, h, w, q,
+                   padding_mode):
+    """One (BAND, Q) output band of one (H, W) image plane."""
+    zeros = padding_mode == "zeros"
+
+    for jt in range(q // LANE):
+        gx = gx_ref[0, :, jt * LANE:(jt + 1) * LANE]      # (BAND, 128) f32
+        gy = gy_ref[0, :, jt * LANE:(jt + 1) * LANE]
+        x0f = jnp.floor(gx)
+        y0f = jnp.floor(gy)
+        tx = gx - x0f
+        ty = gy - y0f
+        x0 = x0f.astype(jnp.int32)
+        y0 = y0f.astype(jnp.int32)
+
+        # per-corner validity (zeros mode) and clipped coordinates
+        xc = [jnp.clip(x0, 0, w - 1), jnp.clip(x0 + 1, 0, w - 1)]
+        yc = [jnp.clip(y0, 0, h - 1), jnp.clip(y0 + 1, 0, h - 1)]
+        wx = [1.0 - tx, tx]
+        wy = [1.0 - ty, ty]
+        if zeros:
+            vx = [(x0 >= 0) & (x0 < w), (x0 + 1 >= 0) & (x0 + 1 < w)]
+            vy = [(y0 >= 0) & (y0 < h), (y0 + 1 >= 0) & (y0 + 1 < h)]
+            wx = [wx[i] * vx[i] for i in (0, 1)]
+            wy = [wy[i] * vy[i] for i in (0, 1)]
+
+        # dynamic bounding box over the clipped coords -> strip loop bounds
+        ys0 = jnp.min(yc[0]) // BAND
+        ys1 = jnp.max(yc[1]) // BAND + 1
+        xs0 = jnp.min(xc[0]) // LANE
+        xs1 = jnp.max(xc[1]) // LANE + 1
+
+        def ybody(ys, acc):
+            row_base = ys * BAND
+
+            def xbody(xs, acc):
+                blk = img_ref[0, 0, pl.ds(row_base, BAND),
+                              pl.ds(xs * LANE, LANE)]        # (8, 128)
+                col_base = xs * LANE
+                xm = [xc[0] - col_base, xc[1] - col_base]
+                xin = [(m >= 0) & (m < LANE) for m in xm]
+                xmc = [jnp.clip(m, 0, LANE - 1) for m in xm]
+                for r in range(BAND):
+                    row8 = jnp.broadcast_to(blk[r:r + 1, :], (BAND, LANE))
+                    g = [jnp.take_along_axis(row8, xmc[i], axis=1)
+                         for i in (0, 1)]
+                    for dy in (0, 1):
+                        hit_y = (yc[dy] == row_base + r)
+                        for dx in (0, 1):
+                            m = (hit_y & xin[dx]).astype(jnp.float32)
+                            acc = acc + g[dx] * (wy[dy] * wx[dx] * m)
+                return acc
+
+            return jax.lax.fori_loop(xs0, xs1, xbody, acc)
+
+        acc = jax.lax.fori_loop(
+            ys0, ys1, ybody, jnp.zeros((BAND, LANE), jnp.float32))
+        out_ref[0, 0, :, jt * LANE:(jt + 1) * LANE] = acc
+
+
+@functools.partial(jax.jit, static_argnames=("padding_mode", "interpret"))
+def gather_bilinear_planar(
+    img: jnp.ndarray,     # (N, C, H, W) float32
+    gx: jnp.ndarray,      # (N, P, Q) unnormalized x pixel coords
+    gy: jnp.ndarray,      # (N, P, Q) unnormalized y pixel coords
+    *,
+    padding_mode: str = "zeros",
+    interpret: bool = False,
+) -> jnp.ndarray:         # (N, C, P, Q) float32
+    n, c, h, w = img.shape
+    _, p, q = gx.shape
+    if p % BAND or q % LANE or h % BAND or w % LANE:
+        raise ValueError(f"shapes must tile: out=({p},{q}) img=({h},{w})")
+    if padding_mode not in ("zeros", "border"):
+        raise NotImplementedError(padding_mode)
+
+    kernel = functools.partial(
+        _gather_kernel, h=h, w=w, q=q, padding_mode=padding_mode)
+    grid = (n, c, p // BAND)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, BAND, q), lambda ni, ci, bi: (ni, bi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BAND, q), lambda ni, ci, bi: (ni, bi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, h, w), lambda ni, ci, bi: (ni, ci, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, BAND, q), lambda ni, ci, bi: (ni, ci, bi, 0),
+            memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, c, p, q), jnp.float32),
+        interpret=interpret,
+    )(gx, gy, img)
+
+
+# VMEM budget: the plane plus double-buffered bands must fit (~16 MB/core)
+_MAX_PLANE_BYTES = 8 * 1024 * 1024
+
+
+def supports(img_shape, grid_shape) -> bool:
+    """True when the Pallas path can serve this (NHWC img, NPQ2 grid):
+    TPU backend, tileable shapes, and an image plane that fits VMEM.
+    ``DVD_TPU_DISABLE_PALLAS`` is the kill switch (same as attention)."""
+    import os
+
+    if os.environ.get("DVD_TPU_DISABLE_PALLAS"):
+        return False
+    if jax.default_backend() != "tpu":
+        return False
+    n, h, w, c = img_shape
+    _, p, q, _ = grid_shape
+    return (h % BAND == 0 and w % LANE == 0 and p % BAND == 0
+            and q % LANE == 0 and h * w * 4 <= _MAX_PLANE_BYTES)
+
+
+def grid_sample_pallas(
+    img: jnp.ndarray,     # (N, H, W, C) any float dtype
+    grid: jnp.ndarray,    # (N, P, Q, 2) in [-1, 1], torch convention
+    *,
+    align_corners: bool = True,
+    padding_mode: str = "zeros",
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """NHWC drop-in for :func:`dvd_tpu.ops.grid_sample.grid_sample`
+    (bilinear).  Transposes to planar around the kernel."""
+    if not align_corners:
+        raise NotImplementedError("align_corners=False")
+    n, h, w, c = img.shape
+    gx = (grid[..., 0].astype(jnp.float32) + 1.0) * 0.5 * (w - 1)
+    gy = (grid[..., 1].astype(jnp.float32) + 1.0) * 0.5 * (h - 1)
+    planar = jnp.transpose(img.astype(jnp.float32), (0, 3, 1, 2))
+    out = gather_bilinear_planar(
+        planar, gx, gy, padding_mode=padding_mode, interpret=interpret)
+    return jnp.transpose(out, (0, 2, 3, 1)).astype(img.dtype)
