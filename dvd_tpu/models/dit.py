@@ -119,6 +119,11 @@ class DiTBlock(nn.Module):
             return xi
 
         if self.mode == "para":
+            # Per-stream calls share every weight (cross/attn/mlp); at the
+            # production token count XLA's matmuls are already full-width
+            # (M = N*T = 8192), so folding the k streams into the batch dim
+            # was measured perf-NEUTRAL-to-negative on v5e (the fold's
+            # jnp.tile materializations cost ~2.5% e2e) — keep the loop.
             xq = layer_norm(x)
             streams = [x + cross(xq, cond, cond)]
             if msk6 is not None:        # absent under use_gt_mask=True
