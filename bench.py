@@ -26,6 +26,8 @@ ITERS = 30
 
 
 def main():
+    import dataclasses
+
     import jax
     import jax.numpy as jnp
 
@@ -36,6 +38,10 @@ def main():
     enable_compilation_cache()
 
     cfg = default_config()
+    if "--quantize" in sys.argv:  # opt-in int8 A/B (driver runs default bf16)
+        q = sys.argv[sys.argv.index("--quantize") + 1]
+        cfg = dataclasses.replace(
+            cfg, model=dataclasses.replace(cfg.model, quantize=q))
     pipe = DewarpPipeline.create(cfg, rng=jax.random.PRNGKey(0))
 
     # staged jits keep each remote-compile unit under the tunnel's request

@@ -89,6 +89,11 @@ class ModelConfig:
     # dtype policy
     compute_dtype: str = "bfloat16"           # "float32" | "bfloat16"
     param_dtype: str = "float32"
+    # TPU-native extra (no reference equivalent): dynamic-int8 matmuls in
+    # the DiT blocks + SATRN decoder at serving time ("int8"); the v5e MXU
+    # runs int8 at 2x bf16.  Serving-only and default-off — training and
+    # all parity tests run with "none".  See ops/quant.py, docs/ROOFLINE.md.
+    quantize: str = "none"                    # "none" | "int8"
 
     @property
     def flow_size(self) -> Tuple[int, int]:

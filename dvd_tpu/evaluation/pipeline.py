@@ -71,6 +71,7 @@ class DewarpPipeline:
             tv=bool(m.time_variant),
             chain_blocks=m.chain_blocks,
             dtype=jnp.dtype(m.compute_dtype) if m.compute_dtype != "float32" else jnp.float32,
+            quant=(m.quantize == "int8"),
         )
         sched = make_schedule(
             steps=cfg.diffusion.diffusion_steps,

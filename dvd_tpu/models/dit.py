@@ -99,6 +99,7 @@ class DiTBlock(nn.Module):
     mlp_ratio: float = 4.0
     mode: str = "para"  # "para" | "seq" | "one"
     dtype: Dtype = jnp.float32
+    quant: bool = False   # dynamic-int8 matmuls (serving only; adaLN stays fp)
 
     @nn.compact
     def __call__(self, x, t_emb, cond, msk6=None, msk_line=None, r=None):
@@ -109,9 +110,12 @@ class DiTBlock(nn.Module):
         )(nn.silu(t_emb))
         shift_msa, scale_msa, gate_msa, shift_mlp, scale_mlp, gate_mlp = jnp.split(ada, 6, axis=-1)
 
-        cross = CrossAttention(self.hidden_size, self.num_heads, self.dtype, name="cross_attn")
-        attn = SelfAttention(self.hidden_size, self.num_heads, self.dtype, name="attn")
-        mlp = Mlp(int(self.hidden_size * self.mlp_ratio), self.hidden_size, self.dtype, name="mlp")
+        cross = CrossAttention(self.hidden_size, self.num_heads, self.dtype,
+                               self.quant, name="cross_attn")
+        attn = SelfAttention(self.hidden_size, self.num_heads, self.dtype,
+                             self.quant, name="attn")
+        mlp = Mlp(int(self.hidden_size * self.mlp_ratio), self.hidden_size,
+                  self.dtype, self.quant, name="mlp")
 
         def backbone(xi):
             xi = xi + gate_msa[:, None, :] * attn(modulate(layer_norm(xi), shift_msa, scale_msa))
@@ -135,9 +139,9 @@ class DiTBlock(nn.Module):
             return tuple(backbone(s) for s in streams)  # (x1, x2, x3[, x4])
         elif self.mode == "seq":
             obs = CrossAttention(self.hidden_size, self.num_heads, self.dtype,
-                                 name="cross_obs_attn")
+                                 self.quant, name="cross_obs_attn")
             act = CrossAttention(self.hidden_size, self.num_heads, self.dtype,
-                                 name="cross_attn_act")
+                                 self.quant, name="cross_attn_act")
             x = x + obs(layer_norm(x), msk6, msk6)
             x = x + cross(layer_norm(x), cond, cond)
             x = x + act(layer_norm(x), msk_line, msk_line)
@@ -200,6 +204,10 @@ class DiT(nn.Module):
     tv: bool = True
     chain_blocks: bool = False
     dtype: Dtype = jnp.float32
+    # dynamic-int8 serving path (ops/quant.py): quantizes the DiT block +
+    # SATRN decoder matmuls; embedders/adaLN/final layer stay fp.  A
+    # TPU-native extra (no reference equivalent), default off.
+    quant: bool = False
 
     @property
     def n_streams(self) -> int:
@@ -280,7 +288,8 @@ class DiT(nn.Module):
 
         blocks = [
             DiTBlock(self.hidden_size, self.num_heads, self.mlp_ratio,
-                     self.separate_cross_attn, self.dtype, name=f"blocks_{i}")
+                     self.separate_cross_attn, self.dtype, self.quant,
+                     name=f"blocks_{i}")
             for i in range(self.depth)
         ]
 
@@ -310,7 +319,7 @@ class DiT(nn.Module):
             dec = satrn.Decoder(
                 n_layers=6, n_head=6, d_k=64 * k, d_v=64 * k,
                 d_model=self.hidden_size * k, n_position=self.input_size // 2,
-                d_inner=2048, dtype=self.dtype, name="decoder",
+                d_inner=2048, dtype=self.dtype, quant=self.quant, name="decoder",
             )(fused_img, deterministic=not train, use_running_average=not train)
             out = FinalLayer(
                 self.hidden_size * k, self.patch_size, self.in_channels,

@@ -70,25 +70,59 @@ def merge_heads(x: jnp.ndarray) -> jnp.ndarray:
     return x.transpose(0, 2, 1, 3).reshape(n, t, h * dh)
 
 
+class QDense(nn.Module):
+    """Drop-in for ``nn.Dense`` with an optional dynamic-int8 matmul
+    (:func:`dvd_tpu.ops.quant.int8_dense`).  The parameter tree ("kernel",
+    "bias", fp32 params) is identical to ``nn.Dense``, so checkpoints and
+    the torch converter are unaffected; ``quant`` only changes the traced
+    compute.  Serving-only: no custom VJP is provided (training paths
+    construct models with ``quant=False``, the default)."""
+
+    features: int
+    use_bias: bool = True
+    quant: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, prequant=None) -> jnp.ndarray:
+        """``prequant``: optional ``quantize_rows(x)`` result shared by
+        several projections of the same tensor (quant path only)."""
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (x.shape[-1], self.features)
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,)) \
+            if self.use_bias else None
+        x = x.astype(self.dtype)
+        if self.quant:
+            from dvd_tpu.ops.quant import int8_dense
+
+            return int8_dense(x, kernel, bias, prequant=prequant,
+                              out_dtype=self.dtype)
+        y = x @ kernel.astype(self.dtype)
+        if bias is not None:
+            y = y + bias.astype(self.dtype)
+        return y
+
+
 class SelfAttention(nn.Module):
     """timm-style fused-QKV self attention (qkv_bias=True)."""
 
     dim: int
     num_heads: int
     dtype: Dtype = jnp.float32
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        qkv = nn.Dense(3 * self.dim, use_bias=True, dtype=self.dtype, name="qkv")(x)
+        dense = lambda f, name: QDense(f, True, self.quant, self.dtype, name=name)
+        qkv = dense(3 * self.dim, "qkv")(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
         out = scaled_dot_attention(
             split_heads(q, self.num_heads),
             split_heads(k, self.num_heads),
             split_heads(v, self.num_heads),
         )
-        return nn.Dense(self.dim, use_bias=True, dtype=self.dtype, name="proj")(
-            merge_heads(out)
-        )
+        return dense(self.dim, "proj")(merge_heads(out))
 
 
 class CrossAttention(nn.Module):
@@ -98,20 +132,29 @@ class CrossAttention(nn.Module):
     dim: int
     num_heads: int
     dtype: Dtype = jnp.float32
+    quant: bool = False
 
     @nn.compact
     def __call__(self, query: jnp.ndarray, key: jnp.ndarray, value: jnp.ndarray) -> jnp.ndarray:
-        q = nn.Dense(self.dim, use_bias=True, dtype=self.dtype, name="q_proj")(query)
-        k = nn.Dense(self.dim, use_bias=True, dtype=self.dtype, name="k_proj")(key)
-        v = nn.Dense(self.dim, use_bias=True, dtype=self.dtype, name="v_proj")(value)
+        dense = lambda name: QDense(self.dim, True, self.quant, self.dtype, name=name)
+        pq = pk = pv = None
+        if self.quant:
+            # quantize each distinct input once (k/v usually share a tensor)
+            from dvd_tpu.ops.quant import quantize_rows
+
+            pq = quantize_rows(query.astype(self.dtype))
+            pk = pq if key is query else quantize_rows(key.astype(self.dtype))
+            pv = pk if value is key else (
+                pq if value is query else quantize_rows(value.astype(self.dtype)))
+        q = dense("q_proj")(query, pq)
+        k = dense("k_proj")(key, pk)
+        v = dense("v_proj")(value, pv)
         out = scaled_dot_attention(
             split_heads(q, self.num_heads),
             split_heads(k, self.num_heads),
             split_heads(v, self.num_heads),
         )
-        return nn.Dense(self.dim, use_bias=True, dtype=self.dtype, name="out_proj")(
-            merge_heads(out)
-        )
+        return dense("out_proj")(merge_heads(out))
 
 
 class Mlp(nn.Module):
@@ -120,12 +163,13 @@ class Mlp(nn.Module):
     hidden_dim: int
     out_dim: int
     dtype: Dtype = jnp.float32
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        x = nn.Dense(self.hidden_dim, dtype=self.dtype, name="fc1")(x)
+        x = QDense(self.hidden_dim, True, self.quant, self.dtype, name="fc1")(x)
         x = nn.gelu(x, approximate=True)
-        return nn.Dense(self.out_dim, dtype=self.dtype, name="fc2")(x)
+        return QDense(self.out_dim, True, self.quant, self.dtype, name="fc2")(x)
 
 
 class PatchEmbed(nn.Module):

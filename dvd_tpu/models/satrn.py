@@ -19,7 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from dvd_tpu.models.layers import merge_heads, scaled_dot_attention, split_heads
+from dvd_tpu.models.layers import QDense, merge_heads, scaled_dot_attention, split_heads
 
 Dtype = Any
 
@@ -35,19 +35,41 @@ def _satrn_sinusoid_table(n_position: int, d_hid: int) -> np.ndarray:
     return table.astype(np.float32)
 
 
+class _QConv1x1(nn.Module):
+    """1x1 conv evaluated as a dynamic-int8 matmul; the parameter tree
+    ("kernel", shape (1,1,Cin,Cout), lecun-normal) is identical to
+    ``nn.Conv`` so checkpoints are unaffected (serving-only path)."""
+
+    features: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from dvd_tpu.ops.quant import int8_dense
+
+        cin = x.shape[-1]
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (1, 1, cin, self.features))
+        return int8_dense(x.astype(self.dtype), kernel.reshape(cin, self.features))
+
+
 class ConvBNReLU(nn.Module):
     features: int
     kernel: int = 1
     groups: int = 1
     dtype: Dtype = jnp.float32
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, use_running_average: bool = True) -> jnp.ndarray:
-        x = nn.Conv(
-            self.features, (self.kernel, self.kernel), padding="SAME",
-            feature_group_count=self.groups, use_bias=False,
-            dtype=self.dtype, name="conv",
-        )(x)
+        if self.quant and self.kernel == 1 and self.groups == 1:
+            x = _QConv1x1(self.features, self.dtype, name="conv")(x)
+        else:
+            x = nn.Conv(
+                self.features, (self.kernel, self.kernel), padding="SAME",
+                feature_group_count=self.groups, use_bias=False,
+                dtype=self.dtype, name="conv",
+            )(x)
         x = nn.BatchNorm(
             use_running_average=use_running_average, momentum=0.9,
             epsilon=1e-5, dtype=self.dtype, name="bn",
@@ -61,14 +83,17 @@ class LocalityAwareFeedforward(nn.Module):
     d_in: int
     d_hid: int
     dtype: Dtype = jnp.float32
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, use_running_average: bool = True) -> jnp.ndarray:
-        x = ConvBNReLU(self.d_hid, 1, dtype=self.dtype, name="conv1")(x, use_running_average)
+        x = ConvBNReLU(self.d_hid, 1, dtype=self.dtype, quant=self.quant,
+                       name="conv1")(x, use_running_average)
         x = ConvBNReLU(
             self.d_hid, 3, groups=self.d_hid, dtype=self.dtype, name="depthwise_conv"
         )(x, use_running_average)
-        return ConvBNReLU(self.d_in, 1, dtype=self.dtype, name="conv2")(x, use_running_average)
+        return ConvBNReLU(self.d_in, 1, dtype=self.dtype, quant=self.quant,
+                          name="conv2")(x, use_running_average)
 
 
 class Adaptive2DPositionalEncoding(nn.Module):
@@ -114,23 +139,33 @@ class SATRNAttention(nn.Module):
     d_v: int
     dropout: float = 0.1
     dtype: Dtype = jnp.float32
+    quant: bool = False
 
     @nn.compact
     def __call__(self, q, k, v, deterministic: bool = True):
         dim_k = self.n_head * self.d_k
         dim_v = self.n_head * self.d_v
-        qp = nn.Dense(dim_k, use_bias=False, dtype=self.dtype, name="linear_q")(q)
-        kp = nn.Dense(dim_k, use_bias=False, dtype=self.dtype, name="linear_k")(k)
-        vp = nn.Dense(dim_v, use_bias=False, dtype=self.dtype, name="linear_v")(v)
+        dense = lambda f, name: QDense(f, False, self.quant, self.dtype, name=name)
+        pq = pk = pv = None
+        if self.quant:
+            # decoder self-attention: q/k/v are the same tensor — one
+            # activation-quantize pass serves all three projections
+            from dvd_tpu.ops.quant import quantize_rows
+
+            pq = quantize_rows(q.astype(self.dtype))
+            pk = pq if k is q else quantize_rows(k.astype(self.dtype))
+            pv = pk if v is k else (
+                pq if v is q else quantize_rows(v.astype(self.dtype)))
+        qp = dense(dim_k, "linear_q")(q, pq)
+        kp = dense(dim_k, "linear_k")(k, pk)
+        vp = dense(dim_v, "linear_v")(v, pv)
         out = scaled_dot_attention(
             split_heads(qp, self.n_head),
             split_heads(kp, self.n_head),
             split_heads(vp, self.n_head),
             scale=1.0 / (self.d_k**0.5),
         )
-        out = nn.Dense(self.d_model, use_bias=False, dtype=self.dtype, name="fc")(
-            merge_heads(out)
-        )
+        out = dense(self.d_model, "fc")(merge_heads(out))
         if self.dropout > 0:
             out = nn.Dropout(self.dropout, deterministic=deterministic)(out)
         return out
@@ -144,6 +179,7 @@ class DecoderLayer(nn.Module):
     d_v: int
     dropout: float = 0.1
     dtype: Dtype = jnp.float32
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, h: int, w: int,
@@ -153,13 +189,13 @@ class DecoderLayer(nn.Module):
         y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
         x = residual + SATRNAttention(
             self.n_head, self.d_model, self.d_k, self.d_v,
-            self.dropout, self.dtype, name="attn",
+            self.dropout, self.dtype, self.quant, name="attn",
         )(y, y, y, deterministic)
         residual = x
         y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
         y = y.reshape(n, h, w, c)
         y = LocalityAwareFeedforward(
-            self.d_model, self.d_inner, self.dtype, name="feed_forward"
+            self.d_model, self.d_inner, self.dtype, self.quant, name="feed_forward"
         )(y, use_running_average)
         return residual + y.reshape(n, t, c)
 
@@ -180,6 +216,7 @@ class Decoder(nn.Module):
     d_inner: int = 2048
     dropout: float = 0.1
     dtype: Dtype = jnp.float32
+    quant: bool = False
 
     @nn.compact
     def __call__(self, feat: jnp.ndarray, deterministic: bool = True,
@@ -193,6 +230,6 @@ class Decoder(nn.Module):
         for i in range(self.n_layers):
             x = DecoderLayer(
                 self.d_model, self.d_inner, self.n_head, self.d_k, self.d_v,
-                self.dropout, self.dtype, name=f"layer_stack_{i}",
+                self.dropout, self.dtype, self.quant, name=f"layer_stack_{i}",
             )(x, h, w, deterministic, use_running_average)
         return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="layer_norm")(x)
