@@ -61,7 +61,9 @@ def main():
     # host, is the only reliable completion barrier in this environment:
     # through the remote-TPU tunnel, block_until_ready() can return while
     # executions are still in flight, silently inflating throughput.
-    fuse = jax.jit(lambda xs: sum(x.astype(jnp.float32).sum() for x in xs))
+    from dvd_tpu.utils.bench_timing import make_fuse
+
+    fuse = make_fuse()
 
     # warmup / compile (incl. steady-state dispatch pipelining); jit
     # caches by pytree structure, so warm fuse at the ITERS-length list

@@ -136,7 +136,6 @@ def write_synthetic_doc3d(root: str, n: int, size: int = 448,
         os.makedirs(d, exist_ok=True)
         img, bm, mask = make_synthetic_sample(size, seed=seed * 100003 + i)
         cv2.imwrite(os.path.join(d, "img.png"), img[:, :, ::-1])
-        cv2.imwrite(os.path.join(d, "recon.png"), mask)
         # undo load_bm_mat's transform: it returns stored*511/447 - 1.2 as
         # coords in the 512-resized frame, and load_sample resizes the
         # 448-px img to 512 (coords scale 511/447) -> store the 448-frame
@@ -146,4 +145,9 @@ def write_synthetic_doc3d(root: str, n: int, size: int = 448,
         with h5py.File(os.path.join(d, "bm.mat"), "w") as f:
             f.create_dataset("bm", data=stored.transpose((2, 1, 0)),
                              compression="gzip", compression_opts=1)
+        # recon.png is the idempotency sentinel — written LAST so a kill
+        # mid-sample leaves a dir the next run regenerates rather than a
+        # permanently incomplete one (bm.mat missing -> sample silently
+        # dropped by make_doc3d_sample_list)
+        cv2.imwrite(os.path.join(d, "recon.png"), mask)
     return root

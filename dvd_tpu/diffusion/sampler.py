@@ -77,6 +77,7 @@ def ddim_sample_loop(
     init_feat_r = _repeat_tree(init_feat, n_batch) if init_feat is not None else None
 
     nb = n_batch * b
+    rng, rng_noise = jax.random.split(rng)
     x = jax.random.normal(rng, (nb, s, s, 2), dtype=jnp.float32)
 
     if init_feat_r is None:
@@ -105,7 +106,13 @@ def ddim_sample_loop(
             seed_init_feat=jnp.full((nb,), first),
             remap_timesteps=True,
         )
-        step = G.ddim_step(sched, x, t, pred_x0, eta=eta,
+        # eta > 0 stochastic DDIM draws fresh per-step noise exactly like
+        # the reference (gaussian_diffusion.py:479); eta == 0 (the shipped
+        # config) traces no noise at all
+        noise = (jax.random.normal(jax.random.fold_in(rng_noise, i),
+                                   x.shape, x.dtype)
+                 if eta != 0.0 else None)
+        step = G.ddim_step(sched, x, t, pred_x0, eta=eta, noise=noise,
                            clip_denoised=clip_denoised)
         return (step.sample, step.pred_xstart, feat_out, fl, ft), None
 

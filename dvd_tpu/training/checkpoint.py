@@ -25,12 +25,30 @@ import numpy as np
 # --------------------------------------------------------------- msgpack IO
 
 
-def save_variables(path: str, variables: Dict[str, Any]) -> None:
+def _to_numpy(a):
+    """Host-fetch one leaf.  Multi-host sharded arrays (e.g. FSDP'd EMA
+    params) span non-addressable devices — ``np.asarray`` would raise —
+    so gather the global value first (every process participates)."""
+    if isinstance(a, jax.Array) and not a.is_fully_addressable:
+        from jax.experimental import multihost_utils
+
+        return np.asarray(multihost_utils.process_allgather(a, tiled=True))
+    return np.asarray(a)
+
+
+def save_variables(path: str, variables: Dict[str, Any],
+                   write: bool = True) -> None:
+    """Serialize a variable tree to msgpack.  The host fetch is a
+    *collective* when leaves are multi-host sharded, so under multi-host
+    training every process must call this — pass ``write=False`` on
+    non-primary processes to participate in the gather without writing."""
     from flax import serialization
 
+    np_tree = jax.tree.map(_to_numpy, variables)
+    if not write:
+        return
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    raw = serialization.msgpack_serialize(
-        jax.tree.map(np.asarray, variables))
+    raw = serialization.msgpack_serialize(np_tree)
     with open(path, "wb") as f:
         f.write(raw)
 
@@ -91,14 +109,19 @@ def save_train_state(workspace: str, state, step: Optional[int] = None,
     return path
 
 
-def save_ema_snapshots(workspace: str, cfg, state, step: int) -> None:
+def save_ema_snapshots(workspace: str, cfg, state, step: int,
+                       primary: bool = True) -> None:
     """Per-rate EMA weight files alongside the orbax state, mirroring the
     reference's ``ema_{rate}_{step:06d}.pt`` (``train_util.py:599-614``).
-    Loadable as plain model variable files (msgpack)."""
+    Loadable as plain model variable files (msgpack).
+
+    Collective under multi-host training (the EMA trees may be FSDP-
+    sharded): every process must call it; only ``primary`` writes."""
     for rate, tree in zip(cfg.train.ema_rates, state.ema_params):
         save_variables(
             os.path.join(workspace, f"ema_{rate}_{step:06d}.msgpack"),
-            {"params": tree, "batch_stats": state.batch_stats})
+            {"params": tree, "batch_stats": state.batch_stats},
+            write=primary)
 
 
 def latest_checkpoint(workspace: str) -> Optional[str]:
@@ -122,16 +145,22 @@ def restore_train_state(path: str, template) -> Any:
     ckptr = ocp.StandardCheckpointer()
     try:
         return ckptr.restore(path, template)
-    except Exception:
+    except (ValueError, TypeError, KeyError) as e:
         # migration: checkpoints written before multi-rate EMA stored
         # ema_params as a single param tree, not a tuple of trees.  Retry
         # with the legacy layout and broadcast the restored tree to every
         # configured rate (the reference's find_ema_checkpoint likewise
         # falls back to the model params when a rate file is missing,
-        # train_util.py:190-204).
+        # train_util.py:190-204).  Only tree-structure errors retry —
+        # IO/corruption errors propagate unmasked.
         if not (isinstance(template.ema_params, tuple)
                 and len(template.ema_params) >= 1):
             raise
+        import logging
+
+        logging.getLogger(__name__).info(
+            "restore with multi-rate EMA template failed (%s); retrying "
+            "with the single-tree legacy layout", e)
         legacy = dataclasses.replace(template,
                                      ema_params=template.ema_params[0])
         restored = ckptr.restore(path, legacy)

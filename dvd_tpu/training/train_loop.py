@@ -194,7 +194,9 @@ def train(cfg: DvDConfig, data_iter: Iterator[Dict[str, np.ndarray]],
                 path = ckpt.save_train_state(ws, state, primary=primary)
                 if primary:
                     logger.log(f"saved {path}")
-                    ckpt.save_ema_snapshots(ws, cfg, state, step)
+                # collective (EMA trees may be multi-host sharded):
+                # every process gathers, only primary writes
+                ckpt.save_ema_snapshots(ws, cfg, state, step, primary=primary)
                 if os.environ.get("DVD_TRAINING_TEST") or \
                         os.environ.get("DIFFUSION_TRAINING_TEST"):
                     return

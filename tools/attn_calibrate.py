@@ -6,7 +6,6 @@ whole-block cost so optimization targets the real slack.
 
 import json
 import sys
-import time
 
 sys.path.insert(0, ".")
 
@@ -27,15 +26,12 @@ def main():
     w = jax.random.normal(key, (D, D), jnp.bfloat16) * 0.02
     q4 = jax.random.normal(key, (EB, H, T, DH), jnp.bfloat16)
 
-    fuse = jax.jit(lambda xs: sum(v.astype(jnp.float32).sum() for v in xs))
+    from dvd_tpu.utils.bench_timing import make_fuse, timed_ms
+
+    fuse = make_fuse()
 
     def timed(fn, *a, iters=30):
-        f = jax.jit(fn)
-        float(fuse([f(*a)] * iters))
-        t0 = time.perf_counter()
-        outs = [f(*a) for _ in range(iters)]
-        float(fuse(outs))
-        return (time.perf_counter() - t0) / iters * 1e3
+        return timed_ms(jax.jit(fn), *a, iters=iters, fuse=fuse)
 
     r = {}
     r["matmul_8192x1536x1536"] = timed(lambda a, b: a @ b, x, w)

@@ -12,7 +12,6 @@ import argparse
 import json
 import sys
 import os
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -48,17 +47,13 @@ def main():
     x0i = jnp.clip(x0.astype(jnp.int32), 0, p - 2)
     y0i = jnp.clip(y0.astype(jnp.int32), 0, p - 2)
 
-    fuse = jax.jit(lambda x: x.astype(jnp.float32).sum())
+    from dvd_tpu.utils.bench_timing import make_fuse, timed_ms
+
+    fuse = make_fuse()
 
     def timed(name, fn, *a):
-        jit = jax.jit(fn)
-        float(fuse(jit(*a)))
-        t0 = time.perf_counter()
-        outs = [jit(*a) for _ in range(args.iters)]
-        float(sum(fuse(o) for o in outs))
-        dt = (time.perf_counter() - t0) / args.iters
-        print(json.dumps({"variant": name, "ms": round(dt * 1e3, 3)}),
-              flush=True)
+        ms = timed_ms(jax.jit(fn), *a, iters=args.iters, fuse=fuse)
+        print(json.dumps({"variant": name, "ms": round(ms, 3)}), flush=True)
 
     img_flat = img.reshape(n * p * p, c)
     boff = (jnp.arange(n, dtype=jnp.int32) * (p * p))[:, None, None]
@@ -194,17 +189,13 @@ def probe_slice22():
     tx = (gx - x0); ty = (gy - y0)
     x0i = x0.astype(jnp.int32); y0i = y0.astype(jnp.int32)
 
-    fuse = jax.jit(lambda x: x.astype(jnp.float32).sum())
+    from dvd_tpu.utils.bench_timing import make_fuse, timed_ms
+
+    fuse = make_fuse()
 
     def timed(name, fn, *a):
-        jit = jax.jit(fn)
-        float(fuse(jit(*a)))
-        t0 = time.perf_counter()
-        outs = [jit(*a) for _ in range(args.iters)]
-        float(sum(fuse(o) for o in outs))
-        dt = (time.perf_counter() - t0) / args.iters
-        print(json.dumps({"variant": name, "ms": round(dt * 1e3, 3)}),
-              flush=True)
+        ms = timed_ms(jax.jit(fn), *a, iters=args.iters, fuse=fuse)
+        print(json.dumps({"variant": name, "ms": round(ms, 3)}), flush=True)
 
     dnums = lax.GatherDimensionNumbers(
         offset_dims=(1, 2, 3), collapsed_slice_dims=(),

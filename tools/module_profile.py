@@ -14,7 +14,6 @@ import argparse
 import json
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -50,19 +49,16 @@ def main():
     k = pipe.dit.n_streams
     d = pipe.dit.hidden_size
 
-    fuse = jax.jit(lambda xs: sum(
-        x.astype(jnp.float32).sum() for x in jax.tree.leaves(xs)))
+    from dvd_tpu.utils.bench_timing import make_fuse, timed_s
+
+    fuse = make_fuse()
 
     def bench(name, fn, *a):
         jit = jax.jit(fn)
         compiled = jit.lower(*a).compile()
         ca = compiled.cost_analysis() or {}
         flops = float(ca.get("flops", 0.0))
-        float(fuse([jit(*a)] * args.iters))   # warm fn + fuse structure
-        t0 = time.perf_counter()
-        outs = [jit(*a) for _ in range(args.iters)]
-        float(fuse(outs))
-        dt = (time.perf_counter() - t0) / args.iters
+        dt = timed_s(jit, *a, iters=args.iters, fuse=fuse)
         row = {
             "module": name,
             "ms": round(dt * 1e3, 3),

@@ -4,6 +4,11 @@
 Production-like shape (batch-4 512^2 RGB, smooth dewarp flow). Prints
 max|err| (expect ~1 ulp) and mean wall time per call for both paths.
 Measured on v5e: jnp 20.0 ms vs pallas 4.6 ms (4.3x)."""
+import time
+
+import jax
+import jax.numpy as jnp
+
 from dvd_tpu.ops.grid_sample import grid_sample
 from dvd_tpu.ops.pallas.grid_sample import grid_sample_pallas
 from dvd_tpu.utils.runtime import enable_compilation_cache

@@ -13,7 +13,6 @@ Writes docs/SATRN_PROFILE.json.
 import json
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -32,7 +31,9 @@ def main():
     D = 384 * K
     x = jax.random.normal(jax.random.PRNGKey(0), (EB, G, G, D), jnp.bfloat16)
 
-    fuse = jax.jit(lambda xs: sum(v.astype(jnp.float32).sum() for v in xs))
+    from dvd_tpu.utils.bench_timing import make_fuse, timed_ms
+
+    fuse = make_fuse()
 
     class IdentityN(nn.Module):
         """Identity that accepts any extra call args."""
@@ -41,20 +42,13 @@ def main():
         def __call__(self, x, *a, **kw):
             return x
 
-    def stub(name=None, **_):
-        return IdentityN(name=name)
-
     def timed(iters=20):
         dec = satrn.Decoder(n_layers=6, n_head=6, d_k=64 * K, d_v=64 * K,
                             d_model=D, n_position=G, d_inner=2048,
                             dtype=jnp.bfloat16)
         vs = jax.jit(dec.init)(jax.random.PRNGKey(1), x)
         fn = jax.jit(lambda v, a: dec.apply(v, a))
-        float(fuse([fn(vs, x)] * iters))
-        t0 = time.perf_counter()
-        outs = [fn(vs, x) for _ in range(iters)]
-        float(fuse(outs))
-        return (time.perf_counter() - t0) / iters * 1e3
+        return timed_ms(fn, vs, x, iters=iters, fuse=fuse)
 
     results = {}
     results["full"] = timed()
@@ -92,8 +86,8 @@ def main():
                 y, use_running_average)
 
     satrn.LocalityAwareFeedforward = \
-        lambda d_in, d_hid, dtype=jnp.bfloat16, name=None: LAFNoDW(
-            d_in, d_hid, name=name)
+        lambda d_in, d_hid, dtype=jnp.bfloat16, quant=False, name=None: \
+        LAFNoDW(d_in, d_hid, name=name)
     results["no_depthwise"] = timed()
     satrn.LocalityAwareFeedforward = orig_laf
 

@@ -12,7 +12,6 @@ import argparse
 import json
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -36,21 +35,12 @@ def main():
     cond_fn, sample_fn = pipe.jitted_stages()
     unwarp = jax.jit(unwarp_fixed)
 
-    import jax.numpy as jnp
+    from dvd_tpu.utils.bench_timing import make_fuse, timed_s
 
-    # dependent-scalar readback: the only reliable completion barrier
-    # through the remote tunnel (block_until_ready can return with
-    # executions still in flight)
-    fuse = jax.jit(lambda xs: sum(
-        x.astype(jnp.float32).sum() for x in jax.tree.leaves(xs)))
+    fuse = make_fuse()
 
     def timed(fn, *a, iters=args.iters):
-        # warm fn AND fuse at the iters-length structure jit caches on
-        float(fuse([fn(*a)] * iters))
-        t0 = time.perf_counter()
-        outs = [fn(*a) for _ in range(iters)]
-        float(fuse(outs))
-        return (time.perf_counter() - t0) / iters
+        return timed_s(fn, *a, iters=iters, fuse=fuse)
 
     rows = []
     for b in args.batches:

@@ -68,25 +68,31 @@ def rollout_ab(cfg, sched, pipe, batch, rng):
     jb = jax.jit(batched)
     t_all = jnp.full((b,), 0, jnp.int32)
 
-    # warm both compiles (batch-b and batch-1 shapes)
+    # warm both compiles (batch-b and batch-1 shapes); completion via a
+    # fused-scalar readback (block_until_ready can return with executions
+    # in flight through the remote tunnel — see utils/bench_timing.py)
+    from dvd_tpu.utils.bench_timing import make_fuse
+
+    fuse = make_fuse()
     cond1 = {k: v[:1] for k, v in cond.items()}
-    jax.block_until_ready(jb(dit_vars, cond, t_all, rng))
-    jax.block_until_ready(jb(dit_vars, cond1, t_all[:1], rng))
+    float(fuse(jb(dit_vars, cond, t_all, rng)))
+    float(fuse(jb(dit_vars, cond1, t_all[:1], rng)))
 
     reps = 3
     t0 = time.perf_counter()
-    for r in range(reps):
-        jax.block_until_ready(
-            jb(dit_vars, cond, t_all, jax.random.fold_in(rng, r)))
+    outs = [jb(dit_vars, cond, t_all, jax.random.fold_in(rng, r))
+            for r in range(reps)]
+    float(fuse(outs))
     tb = (time.perf_counter() - t0) / reps
 
     t0 = time.perf_counter()
+    outs = []
     for r in range(reps):
         for i in range(b):  # the reference's per-sample Python loop shape
             ci = {k: v[i:i + 1] for k, v in cond.items()}
-            jax.block_until_ready(
-                jb(dit_vars, ci, t_all[i:i + 1],
-                   jax.random.fold_in(rng, 100 + r * b + i)))
+            outs.append(jb(dit_vars, ci, t_all[i:i + 1],
+                           jax.random.fold_in(rng, 100 + r * b + i)))
+    float(fuse(outs))
     ts = (time.perf_counter() - t0) / reps
     return {"batched_rollout_s": tb, "per_sample_rollout_s": ts,
             "speedup": ts / tb, "batch": b}
