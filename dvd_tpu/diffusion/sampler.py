@@ -91,11 +91,14 @@ def ddim_sample_loop(
         i, first = step_in
         if time_variant:
             # recurrent conditioning update, skipped on the first step
-            # (reference :618-624)
-            sel = first.reshape(1, 1, 1, 1)
-            fl = jnp.where(sel, fl, pred_flow)
-            warped = warp(feat, flow_to_grid(pred_flow))
-            ft = jnp.where(sel, ft, warped)
+            # (reference :618-624).  lax.cond (not where) so the feature
+            # re-warp gather doesn't execute at all on the first step —
+            # it used to run and be discarded (~0.7 ms/batch on v5e)
+            fl, ft = jax.lax.cond(
+                first,
+                lambda: (fl, ft),
+                lambda: (pred_flow, warp(feat, flow_to_grid(pred_flow))),
+            )
         t = jnp.full((nb,), i, dtype=jnp.int32)
         pred_x0, feat_out = model_fn(
             x,
