@@ -76,25 +76,32 @@ def rollout_ab(cfg, sched, pipe, batch, rng):
     fuse = make_fuse()
     cond1 = {k: v[:1] for k, v in cond.items()}
     float(fuse(jb(dit_vars, cond, t_all, rng)))
-    float(fuse(jb(dit_vars, cond1, t_all[:1], rng)))
+    # warm the b-list fuse structure too (jit caches by pytree structure)
+    float(fuse([jb(dit_vars, cond1, t_all[:1], rng)] * b))
 
-    reps = 3
-    t0 = time.perf_counter()
-    outs = [jb(dit_vars, cond, t_all, jax.random.fold_in(rng, r))
-            for r in range(reps)]
-    float(fuse(outs))
-    tb = (time.perf_counter() - t0) / reps
-
-    t0 = time.perf_counter()
-    outs = []
+    # interleave the two modes and take per-rep medians: the tunnel's
+    # wall-clock drifts +-30% over minutes, which flipped an earlier
+    # back-to-back A/B — interleaving decorrelates the drift from the mode
+    reps = 5
+    tbs, tss = [], []
     for r in range(reps):
+        t0 = time.perf_counter()
+        out = jb(dit_vars, cond, t_all, jax.random.fold_in(rng, r))
+        float(fuse(out))
+        tbs.append(time.perf_counter() - t0)
+
+        t0 = time.perf_counter()
+        outs = []
         for i in range(b):  # the reference's per-sample Python loop shape
             ci = {k: v[i:i + 1] for k, v in cond.items()}
             outs.append(jb(dit_vars, ci, t_all[i:i + 1],
                            jax.random.fold_in(rng, 100 + r * b + i)))
-    float(fuse(outs))
-    ts = (time.perf_counter() - t0) / reps
+        float(fuse(outs))
+        tss.append(time.perf_counter() - t0)
+    tb = sorted(tbs)[reps // 2]
+    ts = sorted(tss)[reps // 2]
     return {"batched_rollout_s": tb, "per_sample_rollout_s": ts,
+            "batched_reps_s": tbs, "per_sample_reps_s": tss,
             "speedup": ts / tb, "batch": b}
 
 
