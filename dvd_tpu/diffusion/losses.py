@@ -41,7 +41,7 @@ import jax.numpy as jnp
 from dvd_tpu.diffusion import gaussian as G
 from dvd_tpu.diffusion.sampler import ModelFn, rollout_states_for_training
 from dvd_tpu.diffusion.schedule import DiffusionSchedule
-from dvd_tpu.ops.grid_sample import warp
+from dvd_tpu.ops.grid_sample import warp, warp_const_src
 from dvd_tpu.ops.resize import resize_bilinear
 from dvd_tpu.utils.grids import base_grid
 
@@ -57,7 +57,10 @@ def _composed_terms(
     target = resize_bilinear(x_start_pm, (h, h), align_corners=True) * mask
     out512 = resize_bilinear(model_output, (h, h), align_corners=True) * mask
     f_pred = (out512 + base_grid(h, h, out512.dtype)) * 2.0 - 1.0
-    f_new = warp(f_inter_pm, f_pred)
+    # f_inter is ground truth — warp_const_src runs the 512^2 gather and
+    # its grid-gradient as Pallas kernels on TPU (the XLA formulation
+    # costs ~60 ms/step at batch 8, docs/TRAIN_PROFILE.json)
+    f_new = warp_const_src(f_inter_pm, f_pred)
     # scalar loss is reference-exact (sum over the batch / sum of mask,
     # ``:1001``); mse_per is the per-sample decomposition used for the
     # loss-aware sampler history and quartile diagnostics

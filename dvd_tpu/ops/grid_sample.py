@@ -18,13 +18,13 @@ Implementation notes (TPU):
   intermediates are bounded by the chunk size, the result matches the
   unchunked path to within one ulp (XLA fusion/FMA reordering), and it
   stays differentiable.
-- A fused Pallas kernel was evaluated and rejected on evidence: Mosaic
-  lowers ``lax.gather`` only to ``tpu.dynamic_gather``, which is a
-  single-vreg shuffle — index ranges beyond 8 sublanes / 128 lanes fail
-  to compile (probed on v5e, 2026-08).  Arbitrary-range gathers would
-  have to be emulated with O(range/8) vreg selects, far slower than
-  XLA's native gather.  The scan tiling above achieves the kernel's goal
-  (no output-sized HBM intermediates) without fighting the ISA.
+- A strip-mined Pallas kernel (``dvd_tpu.ops.pallas.grid_sample``)
+  serves the inference unwarp (forward-only, 4.3x XLA's gather on v5e)
+  and — via :func:`warp_const_src` below — the composed-warp loss
+  (forward + grad-w.r.t.-grid kernels; the source is loss data, so no
+  image cotangent/scatter is needed).  This differentiable jnp gather
+  formulation remains the general path: fully differentiable w.r.t.
+  both inputs, any backend, any shape.
 
 Layout: images are NHWC, grids are ``(N, Ho, Wo, 2)`` with
 ``grid[..., 0] = x`` in [-1, 1] (torch convention).
@@ -151,6 +151,64 @@ def warp(img: jnp.ndarray, grid: jnp.ndarray, mode: str = "bilinear") -> jnp.nda
     (``warping.py:14-73``): grid already in [-1, 1], align_corners=True,
     zero padding."""
     return grid_sample(img, grid, align_corners=True, padding_mode="zeros", mode=mode)
+
+
+def _make_warp_const_src_pallas(interpret: bool):
+    @jax.custom_vjp
+    def f(img, grid):
+        from dvd_tpu.ops.pallas import grid_sample as pgs
+
+        return pgs.grid_sample_pallas(
+            img, grid, padding_mode="zeros", interpret=interpret)
+
+    def fwd(img, grid):
+        return f(img, grid), (img, grid)
+
+    def bwd(res, ct):
+        from dvd_tpu.ops.pallas import grid_sample as pgs
+
+        img, grid = res
+        n, h, w, c = img.shape
+        sx = 0.5 * (w - 1)
+        sy = 0.5 * (h - 1)
+        gx = (grid[..., 0].astype(jnp.float32) + 1.0) * sx
+        gy = (grid[..., 1].astype(jnp.float32) + 1.0) * sy
+        planar = jnp.transpose(img.astype(jnp.float32), (0, 3, 1, 2))
+        ctp = jnp.transpose(ct.astype(jnp.float32), (0, 3, 1, 2))
+        ggx, ggy = pgs.gather_bilinear_grad_planar(
+            planar, gx, gy, ctp, padding_mode="zeros", interpret=interpret)
+        # chain through the align_corners unnormalization gx = (x+1)*sx
+        gg = jnp.stack([ggx * sx, ggy * sy], axis=-1)
+        return (jnp.zeros_like(img), gg.astype(grid.dtype))
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
+_warp_const_src_pallas = _make_warp_const_src_pallas(False)
+_warp_const_src_pallas_interpret = _make_warp_const_src_pallas(True)
+
+
+def warp_const_src(img: jnp.ndarray, grid: jnp.ndarray) -> jnp.ndarray:
+    """:func:`warp` with the source image treated as constant data: the
+    VJP returns a zero cotangent for ``img`` and an exact torch-parity
+    gradient w.r.t. ``grid``.
+
+    This is the composed-warp loss case (``gaussian_diffusion.py:999``:
+    ``f_new = warp(f_inter, f_pred)`` — ``f_inter`` is ground truth, only
+    ``f_pred`` carries gradient).  On TPU at tileable shapes both the
+    forward and the grid-gradient run as strip-mined Pallas kernels
+    (XLA's gather/arithmetic formulation costs ~60 ms/step of the
+    production train step at batch 8, ``docs/TRAIN_PROFILE.json``);
+    elsewhere it falls back to the jnp path with ``stop_gradient`` on the
+    source, which is semantically identical.
+    """
+    from dvd_tpu.ops.pallas import grid_sample as pgs
+
+    if pgs.supports(img.shape, grid.shape) and \
+            pgs.supports_grad(img.shape, grid.shape):
+        return _warp_const_src_pallas(img, grid)
+    return warp(jax.lax.stop_gradient(img), grid)
 
 
 # transient bytes per output pixel of the unchunked gather formulation

@@ -143,6 +143,142 @@ def gather_bilinear_planar(
     )(gx, gy, img)
 
 
+def _gather_grad_kernel(gx_ref, gy_ref, img_ref, ct_ref, ggx_ref, ggy_ref,
+                        *, c, h, w, q, padding_mode):
+    """Gradient w.r.t. the *unnormalized* sample coordinates for one
+    (BAND, Q) output band, summed over the C channels.
+
+    Same strip-mined structure as :func:`_gather_kernel`, but instead of
+    accumulating ``w * I`` it accumulates the two weight-derivative
+    contractions::
+
+        d out_c / d gx = sum_{dy,dx} wy[dy] * dwx[dx] * I_c[corner]
+        d out_c / d gy = sum_{dy,dx} dwy[dy] * wx[dx] * I_c[corner]
+
+    with ``dwx = [-vx0, +vx1]`` (validity-masked in zeros mode — exactly
+    what autodiff of the jnp formulation yields, since the corner masks
+    are constants w.r.t. the coords), then dots each with the cotangent
+    ``ct_c``.  The whole (C, H, W) image block rides in VMEM and the C
+    loop runs inside the kernel, so coordinate decomposition and masks
+    are computed once per tile, not once per channel.
+    """
+    zeros = padding_mode == "zeros"
+
+    for jt in range(q // LANE):
+        gx = gx_ref[0, :, jt * LANE:(jt + 1) * LANE]      # (BAND, 128) f32
+        gy = gy_ref[0, :, jt * LANE:(jt + 1) * LANE]
+        x0f = jnp.floor(gx)
+        y0f = jnp.floor(gy)
+        tx = gx - x0f
+        ty = gy - y0f
+        x0 = x0f.astype(jnp.int32)
+        y0 = y0f.astype(jnp.int32)
+
+        xc = [jnp.clip(x0, 0, w - 1), jnp.clip(x0 + 1, 0, w - 1)]
+        yc = [jnp.clip(y0, 0, h - 1), jnp.clip(y0 + 1, 0, h - 1)]
+        wx = [1.0 - tx, tx]
+        wy = [1.0 - ty, ty]
+        one = jnp.ones_like(tx)
+        if zeros:
+            vx = [((x0 >= 0) & (x0 < w)).astype(jnp.float32),
+                  ((x0 + 1 >= 0) & (x0 + 1 < w)).astype(jnp.float32)]
+            vy = [((y0 >= 0) & (y0 < h)).astype(jnp.float32),
+                  ((y0 + 1 >= 0) & (y0 + 1 < h)).astype(jnp.float32)]
+            wx = [wx[i] * vx[i] for i in (0, 1)]
+            wy = [wy[i] * vy[i] for i in (0, 1)]
+            dwx = [-vx[0], vx[1]]
+            dwy = [-vy[0], vy[1]]
+        else:
+            dwx = [-one, one]
+            dwy = [-one, one]
+
+        ys0 = jnp.min(yc[0]) // BAND
+        ys1 = jnp.max(yc[1]) // BAND + 1
+        xs0 = jnp.min(xc[0]) // LANE
+        xs1 = jnp.max(xc[1]) // LANE + 1
+
+        accx = jnp.zeros((BAND, LANE), jnp.float32)
+        accy = jnp.zeros((BAND, LANE), jnp.float32)
+        for ci in range(c):
+            ct = ct_ref[0, ci, :, jt * LANE:(jt + 1) * LANE]
+
+            def ybody(ys, acc):
+                row_base = ys * BAND
+
+                def xbody(xs, acc):
+                    ax, ay = acc
+                    blk = img_ref[0, ci, pl.ds(row_base, BAND),
+                                  pl.ds(xs * LANE, LANE)]    # (8, 128)
+                    col_base = xs * LANE
+                    xm = [xc[0] - col_base, xc[1] - col_base]
+                    xin = [(m >= 0) & (m < LANE) for m in xm]
+                    xmc = [jnp.clip(m, 0, LANE - 1) for m in xm]
+                    for r in range(BAND):
+                        row8 = jnp.broadcast_to(blk[r:r + 1, :], (BAND, LANE))
+                        g = [jnp.take_along_axis(row8, xmc[i], axis=1)
+                             for i in (0, 1)]
+                        for dy in (0, 1):
+                            hit_y = (yc[dy] == row_base + r)
+                            for dx in (0, 1):
+                                m = (hit_y & xin[dx]).astype(jnp.float32)
+                                gm = g[dx] * (ct * m)
+                                ax = ax + gm * (wy[dy] * dwx[dx])
+                                ay = ay + gm * (dwy[dy] * wx[dx])
+                    return (ax, ay)
+
+                return jax.lax.fori_loop(xs0, xs1, xbody, acc)
+
+            accx, accy = jax.lax.fori_loop(ys0, ys1, ybody, (accx, accy))
+
+        ggx_ref[0, :, jt * LANE:(jt + 1) * LANE] = accx
+        ggy_ref[0, :, jt * LANE:(jt + 1) * LANE] = accy
+
+
+@functools.partial(jax.jit, static_argnames=("padding_mode", "interpret"))
+def gather_bilinear_grad_planar(
+    img: jnp.ndarray,     # (N, C, H, W) float32
+    gx: jnp.ndarray,      # (N, P, Q) unnormalized x pixel coords
+    gy: jnp.ndarray,      # (N, P, Q) unnormalized y pixel coords
+    ct: jnp.ndarray,      # (N, C, P, Q) cotangent of the output
+    *,
+    padding_mode: str = "zeros",
+    interpret: bool = False,
+) -> tuple:               # (ggx, ggy) each (N, P, Q) float32
+    n, c, h, w = img.shape
+    _, p, q = gx.shape
+    if p % BAND or q % LANE or h % BAND or w % LANE:
+        raise ValueError(f"shapes must tile: out=({p},{q}) img=({h},{w})")
+    if padding_mode not in ("zeros", "border"):
+        raise NotImplementedError(padding_mode)
+
+    kernel = functools.partial(
+        _gather_grad_kernel, c=c, h=h, w=w, q=q, padding_mode=padding_mode)
+    grid = (n, p // BAND)
+    shp = jax.ShapeDtypeStruct((n, p, q), jnp.float32)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, BAND, q), lambda ni, bi: (ni, bi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BAND, q), lambda ni, bi: (ni, bi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c, h, w), lambda ni, bi: (ni, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c, BAND, q), lambda ni, bi: (ni, 0, bi, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, BAND, q), lambda ni, bi: (ni, bi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BAND, q), lambda ni, bi: (ni, bi, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[shp, shp],
+        interpret=interpret,
+    )(gx, gy, img, ct)
+
+
 # VMEM budget: the plane plus double-buffered bands must fit (~16 MB/core)
 _MAX_PLANE_BYTES = 8 * 1024 * 1024
 
@@ -161,6 +297,15 @@ def supports(img_shape, grid_shape) -> bool:
     _, p, q, _ = grid_shape
     return (h % BAND == 0 and w % LANE == 0 and p % BAND == 0
             and q % LANE == 0 and h * w * 4 <= _MAX_PLANE_BYTES)
+
+
+def supports_grad(img_shape, grid_shape) -> bool:
+    """True when :func:`gather_bilinear_grad_planar` can serve this: the
+    grad kernel keeps ALL C image planes in VMEM (the C loop runs inside
+    the kernel so the coordinate decomposition is shared)."""
+    n, h, w, c = img_shape
+    return (supports(img_shape, grid_shape)
+            and c * h * w * 4 <= _MAX_PLANE_BYTES)
 
 
 def grid_sample_pallas(

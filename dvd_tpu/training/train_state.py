@@ -93,6 +93,11 @@ def make_train_step(
     ema_rates = cfg.train.ema_rates
     s = cfg.model.image_size
     use_tv = bool(cfg.model.time_variant) and cfg.model.iter
+    # the pyramid hoist only applies to the production DiT (which has the
+    # src_feat bypass); alternative denoisers take cond dicts without it
+    hoist_pyramid = cfg.model.train_mode in (
+        "stage_1_dit_cross", "stage_1_dit_cat") and cfg.model.train_VGG
+    model_dtype = jnp.dtype(cfg.model.compute_dtype)
 
     def loss_fn(params, batch_stats, batch, t, rng):
         mutable_bs = {}
@@ -104,6 +109,7 @@ def make_train_step(
                 x, tt,
                 y512=cond["y512"], mask_cat=cond.get("mask_cat"),
                 mask_y512=cond["mask_y512"], line_msk=cond["line_msk"],
+                src_feat=cond.get("src_feat"),
                 init_flow=init_flow, init_feat=init_feat,
                 seed_init_feat=seed_init_feat,
                 remap_timesteps=remap_timesteps,
@@ -115,6 +121,30 @@ def make_train_step(
             return out
 
         cond = {k: batch[k] for k in ("y512", "mask_cat", "mask_y512", "line_msk")}
+        if hoist_pyramid:
+            # compute the DiT's private conditioning pyramid ONCE per step
+            # and feed it through the src_feat bypass: its input (y512 [+
+            # mask_cat]) is identical across the rollout's T-1 calls and
+            # the supervised call.  Measured perf-neutral on v5e (XLA
+            # already CSEs the identical subgraphs) — kept because it
+            # makes the sharing a guarantee instead of a compiler
+            # courtesy, and mirrors the serving-side hoist
+            # (pipeline._hoist_pyramid).  Bit-identical (pure
+            # conv/relu/pool — no dropout/BN) and gradient-identical: the
+            # reference's rollout runs under no_grad, so pyramid grads
+            # flow only through the supervised call — exactly what
+            # stop_gradient'd rollout outputs give.
+            from dvd_tpu.models.dit import ConditioningPyramid
+            from dvd_tpu.ops.resize import resize_bilinear
+
+            y = batch["y512"]
+            if batch.get("mask_cat") is not None:
+                y = jnp.concatenate([y, batch["mask_cat"]], axis=-1)
+            feat = ConditioningPyramid(s, model_dtype).apply(
+                {"params": params["pyramid"]}, y.astype(model_dtype))
+            if s in (16, 32):
+                feat = resize_bilinear(feat, (s, s), True)
+            cond["src_feat"] = feat
         b = batch["flow64"].shape[0]
         init_flow = jnp.zeros((b, s, s, 2), jnp.float32)
         init_feat = jnp.zeros((b, s, s, 256), jnp.float32)

@@ -67,6 +67,73 @@ def test_boundary_exactness():
     assert jnp.abs(out - ref).max() < 1e-6
 
 
+def _grad_grid_ref(img, grid, ct):
+    """Reference grad-w.r.t.-grid via autodiff of the jnp path (itself
+    torch-parity-tested), with the source held constant."""
+    f = lambda g: jnp.vdot(
+        grid_sample(img, g, align_corners=True, padding_mode="zeros"), ct)
+    return jax.grad(f)(grid)
+
+
+@pytest.mark.parametrize("c", [1, 2, 3])
+def test_grad_kernel_parity(c):
+    """Backward (grad-w.r.t.-coords) kernel vs jax.grad of the jnp path,
+    random out-of-bounds-spanning coords, summed over channels."""
+    from dvd_tpu.ops.pallas.grid_sample import gather_bilinear_grad_planar
+
+    key = jax.random.PRNGKey(7)
+    n, h, w = 2, 16, 128
+    p, q = 8, 128
+    img = jax.random.uniform(key, (n, h, w, c))
+    grid = _rand_grid(jax.random.fold_in(key, 1), (n, p, q, 2))
+    ct = jax.random.normal(jax.random.fold_in(key, 2), (n, p, q, c))
+
+    ref = _grad_grid_ref(img, grid, ct)
+
+    sx, sy = 0.5 * (w - 1), 0.5 * (h - 1)
+    gx = (grid[..., 0] + 1.0) * sx
+    gy = (grid[..., 1] + 1.0) * sy
+    ggx, ggy = gather_bilinear_grad_planar(
+        img.transpose(0, 3, 1, 2), gx, gy, ct.transpose(0, 3, 1, 2),
+        padding_mode="zeros", interpret=True)
+    out = jnp.stack([ggx * sx, ggy * sy], axis=-1)
+    assert jnp.abs(ref - out).max() < 1e-4
+
+
+def test_warp_const_src_cpu_fallback_grad():
+    """On CPU warp_const_src must take the jnp path and give the same
+    grid gradient as warp() with a stopped source."""
+    from dvd_tpu.ops.grid_sample import warp, warp_const_src
+
+    key = jax.random.PRNGKey(9)
+    img = jax.random.uniform(key, (1, 16, 128, 2))
+    grid = _rand_grid(jax.random.fold_in(key, 1), (1, 8, 128, 2))
+    ct = jnp.ones((1, 8, 128, 2))
+    g1 = jax.grad(lambda g: jnp.vdot(warp_const_src(img, g), ct))(grid)
+    g2 = jax.grad(lambda g: jnp.vdot(
+        warp(jax.lax.stop_gradient(img), g), ct))(grid)
+    assert jnp.abs(g1 - g2).max() == 0.0
+
+
+def test_warp_const_src_pallas_value_and_grad():
+    """The custom_vjp pair itself (forward + backward kernels in
+    interpret mode) vs autodiff of the jnp path."""
+    from dvd_tpu.ops.grid_sample import _warp_const_src_pallas_interpret
+
+    key = jax.random.PRNGKey(11)
+    img = jax.random.uniform(key, (1, 16, 128, 2))
+    grid = _rand_grid(jax.random.fold_in(key, 1), (1, 8, 128, 2))
+    ct = jax.random.normal(jax.random.fold_in(key, 2), (1, 8, 128, 2))
+
+    out, vjp = jax.vjp(
+        lambda g: _warp_const_src_pallas_interpret(img, g), grid)
+    ref = grid_sample(img, grid, align_corners=True, padding_mode="zeros")
+    assert jnp.abs(out - ref).max() < 1e-6
+    (gg,) = vjp(ct)
+    ref_gg = _grad_grid_ref(img, grid, ct)
+    assert jnp.abs(gg - ref_gg).max() < 1e-4
+
+
 def test_supports_gating():
     # CPU backend in tests -> compiled path must not be selected
     assert not supports((4, 512, 512, 3), (4, 512, 512, 2))
