@@ -168,8 +168,12 @@ def train(cfg: DvDConfig, data_iter: Iterator[Dict[str, np.ndarray]],
         t_last = time.perf_counter()
         ws = os.path.join(cfg.paths.workspace_dir, cfg.name)
 
+        # track the step host-side: reading ``int(state.step)`` every
+        # iteration is a device sync on the carried state, which would
+        # serialize host-side load/prep of batch i+1 against device step i
+        # (the device only blocks the host at log/save intervals)
+        step = int(state.step)
         for raw in data_iter:
-            step = int(state.step)
             if max_steps is not None and step >= max_steps:
                 break
             raw = put_global_batch(raw, batch_sh)
@@ -200,5 +204,6 @@ def train(cfg: DvDConfig, data_iter: Iterator[Dict[str, np.ndarray]],
                 if os.environ.get("DVD_TRAINING_TEST") or \
                         os.environ.get("DIFFUSION_TRAINING_TEST"):
                     return
+            step += 1
 
         ckpt.save_train_state(ws, state, primary=primary)
