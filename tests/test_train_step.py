@@ -250,3 +250,62 @@ def test_multi_rate_ema():
     assert move_fast > move_slow > 0
     # rate 0.9 moves 100x further than 0.999 per step
     np.testing.assert_allclose(move_fast / move_slow, 100.0, rtol=1e-3)
+
+
+def test_pyramid_hoist_bit_parity():
+    """The train step's conditioning-pyramid hoist (train_state.loss_fn:
+    compute once, feed all three model calls via the src_feat bypass) must
+    be bit-identical to the unhoisted per-call pyramid.  Run eagerly so
+    both variants execute identical primitive sequences (under jit the
+    fusion boundaries differ and could legally change rounding)."""
+    from dvd_tpu.diffusion import losses as L
+    from dvd_tpu.models.dit import ConditioningPyramid
+    from dvd_tpu.ops.resize import resize_bilinear
+
+    dit = DiT(input_size=S, patch_size=2, in_channels=2, hidden_size=48,
+              depth=2, num_heads=3, tv=True, chain_blocks=False)
+    b = 2
+    batch = _batch(b)
+    variables = dit.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, S, S, 2)), jnp.zeros((1,)),
+        y512=batch["y512"][:1], mask_cat=batch["mask_cat"][:1],
+        mask_y512=batch["mask_y512"][:1], line_msk=batch["line_msk"][:1],
+        init_flow=jnp.zeros((1, S, S, 2)),
+        init_feat=jnp.zeros((1, S, S, 256)))
+    sched = make_schedule(steps=3)
+
+    def model_fn(x, tt, cond, *, init_flow, init_feat, seed_init_feat,
+                 remap_timesteps):
+        out, _ = dit.apply(
+            variables, x, tt,
+            y512=cond["y512"], mask_cat=cond.get("mask_cat"),
+            mask_y512=cond["mask_y512"], line_msk=cond["line_msk"],
+            src_feat=cond.get("src_feat"),
+            init_flow=init_flow, init_feat=init_feat,
+            seed_init_feat=seed_init_feat,
+            remap_timesteps=remap_timesteps,
+            train=True, mutable=["batch_stats"],
+            rngs={"dropout": jax.random.PRNGKey(7)})
+        return out
+
+    cond = {k: batch[k] for k in ("y512", "mask_cat", "mask_y512",
+                                  "line_msk")}
+    t = jnp.array([0, 2], jnp.int32)   # one rollout-selected, one seeded
+    rng = jax.random.PRNGKey(3)
+    z2 = jnp.zeros((b, S, S, 2))
+    z256 = jnp.zeros((b, S, S, 256))
+    args = (z2, z256, batch["flow64"], batch["flow_inter"], batch["mask"],
+            t, rng)
+
+    plain = L.time_variant_loss(model_fn, sched, cond, *args)
+
+    y = jnp.concatenate([batch["y512"], batch["mask_cat"]], axis=-1)
+    feat = ConditioningPyramid(S, dit.dtype).apply(
+        {"params": variables["params"]["pyramid"]}, y.astype(dit.dtype))
+    feat = resize_bilinear(feat, (S, S), True)   # S=16 branch
+    hoisted = L.time_variant_loss(
+        model_fn, sched, {**cond, "src_feat": feat}, *args)
+
+    assert float(jnp.abs(plain["loss"] - hoisted["loss"])) == 0.0
+    np.testing.assert_array_equal(np.asarray(plain["mse_per"]),
+                                  np.asarray(hoisted["mse_per"]))
