@@ -115,7 +115,7 @@ def run_benchmark(
     data_size = mesh.shape["data"] if mesh is not None else 1
     unwarp = jax.jit(lambda p, hw, f: jnp.clip(jnp.round(
         unwarp_native(p.astype(jnp.float32), hw, f,
-                      batch_divisor=data_size)), 0.0, 255.0
+                      batch_divisor=data_size, mesh=mesh)), 0.0, 255.0
     ).astype(jnp.uint8))
 
     def dewarp(src, step_rng):
@@ -151,89 +151,96 @@ def run_benchmark(
                     flow_np[j]))
         n_done += batch["count"]
 
-    n_done = 0
-    compile_time = 0.0
-    t_start = None
-    inflight = None                 # one batch stays on device while the
-    for bi, batch in enumerate(_batches()):   # next one is dispatched
-        # uint8 on the wire (tunnel H2D ~80 MB/s); normalize on device
-        src_u8 = put_batch(
-            np.clip(np.asarray(batch["source_image"]) * 255.0 + 0.5,
-                    0, 255).astype(np.uint8))
-        src = src_u8.astype(jnp.float32) / 255.0
-        padded = put_batch(batch["source_padded"])
-        hw = put_batch(batch["hw"])
+    # all jitted tracing (and any retrace) must happen inside the
+    # mesh context: the Pallas kernels detect the ambient mesh at
+    # trace time and wrap themselves in shard_map per data-shard
+    # (pallas_call has no SPMD partitioning rule — see ops/pallas/spmd.py)
+    import contextlib
 
-        step_rng = jax.random.fold_in(rng, bi)
-        t0 = time.perf_counter()
-        flow = dewarp(src, step_rng)
-        outs_dev = [unwarp(padded, hw, flow)]
-        if bi == 0:
-            jax.block_until_ready(outs_dev)
-            # first batch pays compilation; exclude from throughput
-            compile_time = time.perf_counter() - t0
-            t_start = time.perf_counter()
-            if profile_dir:
-                # trace steady-state only: tracing across the remote
-                # compile hangs the axon tunnel
-                jax.profiler.start_trace(profile_dir)
+    with mesh if mesh is not None else contextlib.nullcontext():
+        n_done = 0
+        compile_time = 0.0
+        t_start = None
+        inflight = None                 # one batch stays on device while the
+        for bi, batch in enumerate(_batches()):   # next one is dispatched
+            # uint8 on the wire (tunnel H2D ~80 MB/s); normalize on device
+            src_u8 = put_batch(
+                np.clip(np.asarray(batch["source_image"]) * 255.0 + 0.5,
+                        0, 255).astype(np.uint8))
+            src = src_u8.astype(jnp.float32) / 255.0
+            padded = put_batch(batch["source_padded"])
+            hw = put_batch(batch["hw"])
+
+            step_rng = jax.random.fold_in(rng, bi)
+            t0 = time.perf_counter()
+            flow = dewarp(src, step_rng)
+            outs_dev = [unwarp(padded, hw, flow)]
+            if bi == 0:
+                jax.block_until_ready(outs_dev)
+                # first batch pays compilation; exclude from throughput
+                compile_time = time.perf_counter() - t0
+                t_start = time.perf_counter()
+                if profile_dir:
+                    # trace steady-state only: tracing across the remote
+                    # compile hangs the axon tunnel
+                    jax.profiler.start_trace(profile_dir)
+
+            if inflight is not None:
+                drain(inflight)
+            inflight = (outs_dev, flow, batch)
+            last_inputs = (src, padded, hw, step_rng)
 
         if inflight is not None:
             drain(inflight)
-        inflight = (outs_dev, flow, batch)
-        last_inputs = (src, padded, hw, step_rng)
 
-    if inflight is not None:
-        drain(inflight)
+        for fut in pending:          # surface writer errors before reporting
+            fut.result()
+        writer.shutdown()
+        t_end = time.perf_counter()
 
-    for fut in pending:          # surface writer errors before reporting
-        fut.result()
-    writer.shutdown()
-    t_end = time.perf_counter()
+        if profile_dir:
+            jax.profiler.stop_trace()   # trace dump is NOT part of throughput
+            print(f"profiler trace written to {profile_dir}")
 
-    if profile_dir:
-        jax.profiler.stop_trace()   # trace dump is NOT part of throughput
-        print(f"profiler trace written to {profile_dir}")
-
-    if n_done > batch_size:
-        # steady state: exclude the compile-paying first batch
-        total = t_end - (t_start or t_end)
-        n_timed = n_done - batch_size
-    else:
-        # single-batch run: the compile batch is all there is
-        total = compile_time
-        n_timed = n_done
-    stats = {
-        "images": n_done,
-        "seconds_total": round(total, 3),
-        "imgs_per_sec": round(n_timed / total, 3) if total > 0 else 0.0,
-        "compile_seconds": round(compile_time, 3),
-    }
-    if n_done:
-        # per-stage steady-state timings (synced re-runs of the last
-        # batch, outside the throughput window) so perf regressions are
-        # attributable per stage across rounds
-        src, padded, hw, step_rng = last_inputs
-        stage = {}
-        # scalar readback of an output element is the reliable completion
-        # barrier through the remote tunnel (block_until_ready can return
-        # with executions in flight); jitted so the extract is one
-        # dispatch, not three eager tunnel round-trips
-        scalar = jax.jit(lambda l: jnp.ravel(l)[0].astype(jnp.float32))
-        for name, fn in (
-            ("conditioning", lambda: cond_fn(src)),
-            ("sample", lambda: sample_fn(*cond_fn(src), step_rng)),
-            ("unwarp", lambda: unwarp(padded, hw, flow)),
-        ):
-            float(scalar(jax.tree.leaves(fn())[0]))   # warm scalar-extract
-            t0 = time.perf_counter()
-            float(scalar(jax.tree.leaves(fn())[0]))
-            stage[name] = round(time.perf_counter() - t0, 4)
-        stage["sample"] = round(
-            max(stage["sample"] - stage["conditioning"], 0.0), 4)
-        stats["stage_seconds_per_batch"] = stage
-    with open(os.path.join(out_dir, "run_stats.json"), "w") as f:
-        json.dump(stats, f, indent=2)
+        if n_done > batch_size:
+            # steady state: exclude the compile-paying first batch
+            total = t_end - (t_start or t_end)
+            n_timed = n_done - batch_size
+        else:
+            # single-batch run: the compile batch is all there is
+            total = compile_time
+            n_timed = n_done
+        stats = {
+            "images": n_done,
+            "seconds_total": round(total, 3),
+            "imgs_per_sec": round(n_timed / total, 3) if total > 0 else 0.0,
+            "compile_seconds": round(compile_time, 3),
+        }
+        if n_done:
+            # per-stage steady-state timings (synced re-runs of the last
+            # batch, outside the throughput window) so perf regressions are
+            # attributable per stage across rounds
+            src, padded, hw, step_rng = last_inputs
+            stage = {}
+            # scalar readback of an output element is the reliable completion
+            # barrier through the remote tunnel (block_until_ready can return
+            # with executions in flight); jitted so the extract is one
+            # dispatch, not three eager tunnel round-trips
+            scalar = jax.jit(lambda l: jnp.ravel(l)[0].astype(jnp.float32))
+            for name, fn in (
+                ("conditioning", lambda: cond_fn(src)),
+                ("sample", lambda: sample_fn(*cond_fn(src), step_rng)),
+                ("unwarp", lambda: unwarp(padded, hw, flow)),
+            ):
+                float(scalar(jax.tree.leaves(fn())[0]))   # warm scalar-extract
+                t0 = time.perf_counter()
+                float(scalar(jax.tree.leaves(fn())[0]))
+                stage[name] = round(time.perf_counter() - t0, 4)
+            stage["sample"] = round(
+                max(stage["sample"] - stage["conditioning"], 0.0), 4)
+            stats["stage_seconds_per_batch"] = stage
+        with open(os.path.join(out_dir, "run_stats.json"), "w") as f:
+            json.dump(stats, f, indent=2)
     return stats
 
 

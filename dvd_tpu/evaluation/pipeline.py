@@ -234,19 +234,12 @@ class DewarpPipeline:
         calls saved."""
         if cond.get("src_feat") is not None:   # external VGG already given
             return cond
-        from dvd_tpu.models.dit import ConditioningPyramid
+        from dvd_tpu.models.dit import conditioning_pyramid_features
 
-        m = self.cfg.model
-        y = cond["y512"]
-        if cond.get("mask_cat") is not None:
-            y = jnp.concatenate([y, cond["mask_cat"]], axis=-1)
-        feat = ConditioningPyramid(m.image_size, self.dit.dtype).apply(
-            {"params": dit_vars["params"]["pyramid"]},
-            y.astype(self.dit.dtype))
-        if m.image_size in (16, 32):
-            feat = resize_bilinear(feat, (m.image_size, m.image_size), True)
         out = dict(cond)
-        out["src_feat"] = feat
+        out["src_feat"] = conditioning_pyramid_features(
+            dit_vars["params"]["pyramid"], cond["y512"],
+            cond.get("mask_cat"), self.cfg.model.image_size, self.dit.dtype)
         return out
 
     def build_conditioning(self, source512: jnp.ndarray):
@@ -286,6 +279,9 @@ def unwarp_native(
     batch_divisor: int = 1,       # data-mesh size: B is the *global* batch
     # at trace time, but transients are per-device — size row chunks to
     # the per-shard batch or the lax.map serializes devices x too finely
+    mesh=None,                    # data mesh when the batch is sharded:
+    # pallas_call has no SPMD partitioning rule, so the Pallas gathers
+    # must run per-shard via shard_map (batch-pointwise -> exact)
 ) -> jnp.ndarray:
     """Native-resolution unwarp inside a fixed (P, P) canvas.
 
@@ -314,9 +310,19 @@ def unwarp_native(
     # canvas-sized — so its corner transients are just as unbounded
     from dvd_tpu.ops.pallas import grid_sample as pgs
 
-    if pgs.supports(flow.shape, up_grid.shape):
-        flow_native = pgs.grid_sample_pallas(flow, up_grid,
-                                             padding_mode="border")
+    def pallas_ok(img, grd):
+        return pgs.supports(img.shape, grd.shape) and (
+            mesh is None or img.shape[0] % pgs.batch_shards(mesh) == 0)
+
+    def pallas_gs(img, grd, padding_mode):
+        f = lambda i, g: pgs.grid_sample_pallas(i, g,
+                                                padding_mode=padding_mode)
+        if mesh is not None:
+            f = pgs.shard_batch0(f, mesh, n_in=2)
+        return f(img, grd)
+
+    if pallas_ok(flow, up_grid):
+        flow_native = pallas_gs(flow, up_grid, "border")
     else:
         flow_native = grid_sample(flow, up_grid, align_corners=True,
                                   padding_mode="border",
@@ -332,11 +338,10 @@ def unwarp_native(
     px = (samp_x + 1.0) * (w - 1.0) / (p - 1.0) - 1.0
     py = (samp_y + 1.0) * (h - 1.0) / (p - 1.0) - 1.0
     canvas_grid = jnp.stack([px, py], axis=-1)
-    if pgs.supports(source_padded.shape, canvas_grid.shape):
+    if pallas_ok(source_padded, canvas_grid):
         # VMEM-resident Pallas gather: 4.7x XLA's gather on v5e and no
         # output-sized HBM transients (tools/gather_probe.py)
-        return pgs.grid_sample_pallas(source_padded, canvas_grid,
-                                      padding_mode="zeros")
+        return pallas_gs(source_padded, canvas_grid, "zeros")
     # row-tiled gather: bounds the canvas-sized corner transients (a
     # 2048^2 batch of 8 used to peak ~2 GB and OOM) — see grid_sample.py
     return grid_sample(source_padded, canvas_grid, align_corners=True,
@@ -354,5 +359,11 @@ def unwarp_fixed(source: jnp.ndarray, flow: jnp.ndarray,
     g = (flow_hw + base_grid(h, w, flow_hw.dtype)) * 2.0 - 1.0
     g = g * shrink
     if pgs.supports(source.shape, g.shape):
-        return pgs.grid_sample_pallas(source, g, padding_mode="zeros")
+        mesh = pgs.ambient_mesh()   # sharded-batch traces: run per-shard
+        if mesh is None:
+            return pgs.grid_sample_pallas(source, g, padding_mode="zeros")
+        if source.shape[0] % pgs.batch_shards(mesh) == 0:
+            f = lambda i, gg: pgs.grid_sample_pallas(i, gg,
+                                                     padding_mode="zeros")
+            return pgs.shard_batch0(f, mesh, n_in=2)(source, g)
     return grid_sample(source, g, align_corners=True, padding_mode="zeros")

@@ -91,6 +91,29 @@ class ConditioningPyramid(nn.Module):
         return x
 
 
+def conditioning_pyramid_features(
+    pyramid_params: Any,
+    y512: jnp.ndarray,
+    mask_cat: Optional[jnp.ndarray],
+    input_size: int,
+    dtype: Any,
+) -> jnp.ndarray:
+    """The DiT's internal conditioning computation (forward path below:
+    mask concat -> ConditioningPyramid -> 16/32 resize), as a standalone
+    function over the ``pyramid`` param subtree.
+
+    This is THE definition of what the ``src_feat`` bypass must receive:
+    both hoists (serving ``pipeline._hoist_pyramid`` and the train step's
+    ``train_state.loss_fn``) call this, so the bypass stays
+    operation-identical to the in-model path by construction."""
+    y = y512 if mask_cat is None else jnp.concatenate([y512, mask_cat], -1)
+    feat = ConditioningPyramid(input_size, dtype).apply(
+        {"params": pyramid_params}, y.astype(dtype))
+    if input_size in (16, 32):
+        feat = resize_bilinear(feat, (input_size, input_size), True)
+    return feat
+
+
 class DiTBlock(nn.Module):
     """adaLN-Zero DiT block with shared parallel cross-attention branches."""
 

@@ -50,9 +50,22 @@ def scaled_dot_attention(
     scale = scale if scale is not None else 1.0 / math.sqrt(dh)
 
     from dvd_tpu.ops.pallas.attention import attention, use_fused_attention
+    from dvd_tpu.ops.pallas.spmd import ambient_mesh, batch_shards, shard_batch0
 
     if use_fused_attention(q.shape, k.shape):
-        return attention(q, k, v, scale)
+        mesh = ambient_mesh()
+        if mesh is None:
+            return attention(q, k, v, scale)
+        # multi-device trace: pallas_call is unpartitionable — run the
+        # kernel per data-shard (batch-pointwise; under pure DP the heads
+        # are replicated, so this is the natural layout).  With a >1
+        # model (TP) axis the heads may be sharded and forcing a
+        # data-only layout would reshard them, so fall through to the
+        # jnp formulation there — XLA partitions it natively.
+        pure_dp = all(mesh.shape[a] == 1 for a in mesh.axis_names[1:])
+        if pure_dp and q.shape[0] % batch_shards(mesh) == 0:
+            f = lambda q_, k_, v_: attention(q_, k_, v_, scale)
+            return shard_batch0(f, mesh, n_in=3)(q, k, v)
 
     logits = jnp.einsum("nhqd,nhkd->nhqk", q, k, precision=jax.lax.Precision.DEFAULT)
     logits = logits.astype(jnp.float32) * scale

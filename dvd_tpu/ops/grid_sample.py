@@ -205,9 +205,16 @@ def warp_const_src(img: jnp.ndarray, grid: jnp.ndarray) -> jnp.ndarray:
     """
     from dvd_tpu.ops.pallas import grid_sample as pgs
 
-    if pgs.supports(img.shape, grid.shape) and \
-            pgs.supports_grad(img.shape, grid.shape):
-        return _warp_const_src_pallas(img, grid)
+    if pgs.supports_grad(img.shape, grid.shape):   # implies supports()
+        mesh = pgs.ambient_mesh()
+        if mesh is None:
+            return _warp_const_src_pallas(img, grid)
+        # multi-device trace (the train step under `with mesh:`):
+        # pallas_call has no SPMD partitioning rule, so run it per
+        # data-shard via shard_map (the kernel is batch-pointwise)
+        if img.shape[0] % pgs.batch_shards(mesh) == 0:
+            return pgs.shard_batch0(
+                _warp_const_src_pallas, mesh, n_in=2)(img, grid)
     return warp(jax.lax.stop_gradient(img), grid)
 
 

@@ -26,8 +26,13 @@ Layout: the kernel consumes *planar* (N, C, H, W) images — NHWC's C=3
 would waste 125/128 lanes.  The wrapper transposes in/out (one cheap XLA
 transpose each way at 512^2; callers that can keep planar should).
 
-Forward-only: the training/loss warps stay on the differentiable jnp
-path (they run at 64^2 where XLA's gather is not the bottleneck).
+Differentiation: :func:`gather_bilinear_grad_planar` below provides the
+gradient w.r.t. the sample *coordinates* (used by
+``dvd_tpu.ops.grid_sample.warp_const_src`` for the 512^2 composed-warp
+training loss, where the warped source is ground truth and needs no
+cotangent).  There is no image-gradient (scatter) kernel; warps that
+need gradients w.r.t. the source stay on the differentiable jnp path
+(they run at 64^2 where XLA's gather is not the bottleneck).
 
 Reference hot kernel being replaced: ``datasets/utils/warping.py:26-73``.
 """
@@ -40,6 +45,14 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+# SPMD dispatch (see spmd.py: pallas_call is unpartitionable — callers
+# wrap it in shard_map over the data axis when the trace is multi-device)
+from dvd_tpu.ops.pallas.spmd import (  # noqa: F401  (re-exported)
+    ambient_mesh,
+    batch_shards,
+    shard_batch0,
+)
 
 LANE = 128
 BAND = 8          # output rows per grid step (f32 sublane tile)

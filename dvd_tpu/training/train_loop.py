@@ -173,12 +173,23 @@ def train(cfg: DvDConfig, data_iter: Iterator[Dict[str, np.ndarray]],
         # serialize host-side load/prep of batch i+1 against device step i
         # (the device only blocks the host at log/save intervals)
         step = int(state.step)
+        # ...but bound the run-ahead: without any backpressure a fast
+        # loader could enqueue up to log_interval batches (~100+ MB of
+        # prepped conditioning each) in HBM before the next sync.  A
+        # sliding window over a per-step scalar keeps at most K batches
+        # in flight at the cost of one tiny readback per step.
+        from collections import deque
+
+        inflight = deque()
         for raw in data_iter:
             if max_steps is not None and step >= max_steps:
                 break
             raw = put_global_batch(raw, batch_sh)
             batch = prep(raw)
             state, metrics = step_fn(state, batch, rng)
+            inflight.append(metrics["grad_norm"])
+            if len(inflight) > 4:
+                jax.block_until_ready(inflight.popleft())
 
             if step % cfg.train.log_interval == 0:
                 m = fetch_metrics(metrics)

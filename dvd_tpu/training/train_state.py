@@ -134,17 +134,11 @@ def make_train_step(
             # reference's rollout runs under no_grad, so pyramid grads
             # flow only through the supervised call — exactly what
             # stop_gradient'd rollout outputs give.
-            from dvd_tpu.models.dit import ConditioningPyramid
-            from dvd_tpu.ops.resize import resize_bilinear
+            from dvd_tpu.models.dit import conditioning_pyramid_features
 
-            y = batch["y512"]
-            if batch.get("mask_cat") is not None:
-                y = jnp.concatenate([y, batch["mask_cat"]], axis=-1)
-            feat = ConditioningPyramid(s, model_dtype).apply(
-                {"params": params["pyramid"]}, y.astype(model_dtype))
-            if s in (16, 32):
-                feat = resize_bilinear(feat, (s, s), True)
-            cond["src_feat"] = feat
+            cond["src_feat"] = conditioning_pyramid_features(
+                params["pyramid"], batch["y512"], batch.get("mask_cat"),
+                s, model_dtype)
         b = batch["flow64"].shape[0]
         init_flow = jnp.zeros((b, s, s, 2), jnp.float32)
         init_feat = jnp.zeros((b, s, s, 256), jnp.float32)

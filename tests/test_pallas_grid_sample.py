@@ -145,3 +145,47 @@ def test_supports_gating():
     # the arithmetic, not the backend)
     n, h, w = 1, 4096, 4096
     assert h * w * 4 > pgs._MAX_PLANE_BYTES
+
+
+def test_shard_map_dispatch_on_cpu_mesh():
+    """pallas_call has no SPMD partitioning rule, so multi-device traces
+    wrap the kernels in shard_map over the data axis (ops/pallas/spmd.py).
+    Validate the plumbing — specs, custom_vjp-under-shard_map, ambient
+    mesh detection — on the 8-device CPU mesh with interpret-mode
+    kernels (the compiled Mosaic path needs real multi-chip TPU)."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from dvd_tpu.ops.grid_sample import (_warp_const_src_pallas_interpret,
+                                         grid_sample)
+    from dvd_tpu.ops.pallas.spmd import (ambient_mesh, batch_shards,
+                                         shard_batch0)
+
+    devs = jax.devices()
+    if len(devs) < 8:
+        pytest.skip("needs the 8-device CPU mesh")
+    import numpy as np
+
+    mesh = Mesh(np.array(devs[:8]), ("data",))
+    with mesh:
+        assert ambient_mesh() is mesh and batch_shards(mesh) == 8
+
+        key = jax.random.PRNGKey(5)
+        img = jax.random.uniform(key, (8, 16, 128, 2))
+        grid = _rand_grid(jax.random.fold_in(key, 1), (8, 8, 128, 2))
+        ct = jax.random.normal(jax.random.fold_in(key, 2), (8, 8, 128, 2))
+        sh = NamedSharding(mesh, P("data"))
+        img_s = jax.device_put(img, sh)
+        grid_s = jax.device_put(grid, sh)
+
+        f = shard_batch0(_warp_const_src_pallas_interpret, mesh, n_in=2)
+
+        def loss(g):
+            return jnp.vdot(f(img_s, g), ct)
+
+        out, gg = jax.jit(lambda g: (f(img_s, g), jax.grad(loss)(g)))(grid_s)
+        ref = grid_sample(img, grid, align_corners=True,
+                          padding_mode="zeros")
+        ref_gg = jax.grad(lambda g: jnp.vdot(grid_sample(
+            img, g, align_corners=True, padding_mode="zeros"), ct))(grid)
+        assert jnp.abs(out - ref).max() < 1e-6
+        assert jnp.abs(gg - ref_gg).max() < 1e-4

@@ -259,8 +259,7 @@ def test_pyramid_hoist_bit_parity():
     both variants execute identical primitive sequences (under jit the
     fusion boundaries differ and could legally change rounding)."""
     from dvd_tpu.diffusion import losses as L
-    from dvd_tpu.models.dit import ConditioningPyramid
-    from dvd_tpu.ops.resize import resize_bilinear
+    from dvd_tpu.models.dit import conditioning_pyramid_features
 
     dit = DiT(input_size=S, patch_size=2, in_channels=2, hidden_size=48,
               depth=2, num_heads=3, tv=True, chain_blocks=False)
@@ -299,10 +298,9 @@ def test_pyramid_hoist_bit_parity():
 
     plain = L.time_variant_loss(model_fn, sched, cond, *args)
 
-    y = jnp.concatenate([batch["y512"], batch["mask_cat"]], axis=-1)
-    feat = ConditioningPyramid(S, dit.dtype).apply(
-        {"params": variables["params"]["pyramid"]}, y.astype(dit.dtype))
-    feat = resize_bilinear(feat, (S, S), True)   # S=16 branch
+    feat = conditioning_pyramid_features(
+        variables["params"]["pyramid"], batch["y512"], batch["mask_cat"],
+        S, dit.dtype)
     hoisted = L.time_variant_loss(
         model_fn, sched, {**cond, "src_feat": feat}, *args)
 

@@ -23,22 +23,19 @@ img = jax.random.uniform(key, (n, h, w, c))
 ct = jax.random.normal(jax.random.fold_in(key, 2), (n, h, w, c))
 
 
-def make_loss(grid_like):
-    def loss_ref(g):
-        return jnp.vdot(grid_sample(jax.lax.stop_gradient(img), g,
-                                    align_corners=True,
-                                    padding_mode="zeros"), ct)
+def loss_ref(g):
+    return jnp.vdot(grid_sample(jax.lax.stop_gradient(img), g,
+                                align_corners=True,
+                                padding_mode="zeros"), ct)
 
-    def loss_pal(g):
-        return jnp.vdot(_warp_const_src_pallas(img, g), ct)
 
-    return loss_ref, loss_pal
+def loss_pal(g):
+    return jnp.vdot(_warp_const_src_pallas(img, g), ct)
 
 
 # ---- parity on the adversarial random grid -----------------------------
 grid_rand = jax.random.uniform(jax.random.fold_in(key, 1), (n, h, w, 2),
                                minval=-1.2, maxval=1.2)
-loss_ref, loss_pal = make_loss(grid_rand)
 jr = jax.jit(jax.grad(loss_ref))
 jp = jax.jit(jax.grad(loss_pal))
 gr, gp = jr(grid_rand), jp(grid_rand)
