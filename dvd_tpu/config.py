@@ -63,6 +63,16 @@ class ModelConfig:
     in_channels: int = 2
     iter: bool = True                         # per-step source re-warp branch
     time_variant: bool = True                 # recurrent init_flow/init_feat
+    # Intentional deviation switch (default OFF = reference behavior):
+    # the reference's training rollout calls the model at *rescaled*
+    # timesteps (667/333 — gaussian_diffusion.py:731-733 mode='train'
+    # skips the cross_model.py:575-579 remap) while serving remaps to
+    # raw t {2,1,0}; the regimes only become behaviorally consistent at
+    # reference-scale budgets (docs/E2E_DEMO.md pins the small-budget
+    # divergence).  ON: the rollout remaps like serving, making training
+    # recurrence-consistent with inference from step one.  Must stay OFF
+    # when training weights meant to match reference checkpoints.
+    remap_rollout_timesteps: bool = False
     train_VGG: bool = True                    # use DiT's private pyramid
     use_gt_mask: bool = False                 # False -> use seg-net pyramid
     use_line_mask: bool = True

@@ -117,6 +117,7 @@ def time_variant_loss(
     mask: jnp.ndarray,
     t: jnp.ndarray,
     rng: jax.Array,
+    rollout_remap: bool = False,
 ) -> Dict[str, jnp.ndarray]:
     """training_losses_time_variant (iter=True, production).
 
@@ -138,7 +139,7 @@ def time_variant_loss(
 
     init_flow_r, init_feat_r = rollout_states_for_training(
         model_fn, sched, cond, init_flow, init_feat, t,
-        rng=k_roll, latent_size=s,
+        rng=k_roll, latent_size=s, remap_timesteps=rollout_remap,
     )
 
     model_output, _ = model_fn(

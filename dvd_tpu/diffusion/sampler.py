@@ -146,9 +146,16 @@ def rollout_states_for_training(
     *,
     rng: jax.Array,
     latent_size: int,
+    remap_timesteps: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Vectorized replacement for the reference's per-sample training
     rollout (``training_losses_time_variant``, gaussian_diffusion.py:921-972).
+
+    ``remap_timesteps=False`` is the reference behavior: the rollout's
+    model calls receive rescaled t (667/333) with no remap
+    (``mode='train'``, gaussian_diffusion.py:731-733), unlike serving.
+    True opts into serving-consistent recurrence
+    (``config.ModelConfig.remap_rollout_timesteps``).
 
     The reference loops over the batch; for each sample with timestep
     ``t_i < T-1`` it runs a fresh DDIM rollout from T-1 down to ``t_i+1``
@@ -191,7 +198,7 @@ def rollout_states_for_training(
             init_flow=cur_flow,
             init_feat=cur_feat,
             seed_init_feat=jnp.full((b,), first),
-            remap_timesteps=False,   # reference rollout runs with mode='train'
+            remap_timesteps=remap_timesteps,
         )
         step = G.ddim_step(sched, x, t_vec, pred_x0, eta=0.0, clip_denoised=False)
         x = step.sample

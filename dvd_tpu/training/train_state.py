@@ -145,7 +145,8 @@ def make_train_step(
         if use_tv:
             terms = L.time_variant_loss(
                 model_fn, sched, cond, init_flow, init_feat,
-                batch["flow64"], batch["flow_inter"], batch["mask"], t, rng)
+                batch["flow64"], batch["flow_inter"], batch["mask"], t, rng,
+                rollout_remap=cfg.model.remap_rollout_timesteps)
         else:
             terms = L.composed_warp_loss(
                 model_fn, sched, cond, init_flow,

@@ -162,3 +162,36 @@ def test_ddim_loop_eta_nonzero_draws_noise():
                           rng=jax.random.PRNGKey(2), latent_size=S,
                           n_batch=1, time_variant=False, eta=0.7).hypotheses
     assert not np.allclose(np.asarray(b0), np.asarray(b1))
+
+
+def test_rollout_remap_flag_plumbs():
+    """remap_rollout_timesteps (config.py ModelConfig): default False =
+    reference behavior (rollout model calls at rescaled t, no remap —
+    gaussian_diffusion.py:731-733); True opts into serving-consistent
+    recurrence.  The flag must reach every rollout model call."""
+    import jax
+    import jax.numpy as jnp
+
+    from dvd_tpu.diffusion.sampler import rollout_states_for_training
+    from dvd_tpu.diffusion.schedule import make_schedule
+
+    sched = make_schedule(steps=3)
+    b, s = 2, 8
+    z2 = jnp.zeros((b, s, s, 2))
+    z256 = jnp.zeros((b, s, s, 256))
+    t = jnp.array([0, 1], jnp.int32)
+
+    for flag in (False, True):
+        seen = []
+
+        def fake_model(x, tt, cond, *, init_flow, init_feat,
+                       seed_init_feat, remap_timesteps):
+            seen.append(remap_timesteps)
+            return jnp.zeros_like(init_flow), init_feat
+
+        rollout_states_for_training(
+            fake_model, sched, {}, z2, z256, t,
+            rng=jax.random.PRNGKey(0), latent_size=s,
+            remap_timesteps=flag)
+        assert len(seen) == sched.num_timesteps - 1
+        assert all(v is flag for v in seen)
