@@ -69,6 +69,8 @@ class PrefetchLoader:
                 n = len(order)
                 end = n - n % self.batch_size if self.drop_last else n
                 for s in range(0, end, self.batch_size):
+                    if stop.is_set():
+                        return
                     idx = order[s:s + self.batch_size]
                     futs = [
                         pool.submit(self.ds.__getitem__, int(i),
@@ -78,9 +80,17 @@ class PrefetchLoader:
                     items = [f.result() for f in futs]
                     keys = self.keys or list(items[0].keys())
                     batch = {k: np.stack([it[k] for it in items]) for k in keys}
-                    q.put(batch)
-                    if stop.is_set():
-                        return
+                    # bounded put that keeps observing `stop`: a plain
+                    # q.put would park this thread forever once the
+                    # consumer is gone, and shutting the pool down under
+                    # it raised "cannot schedule new futures after
+                    # shutdown" from the next submit
+                    while not stop.is_set():
+                        try:
+                            q.put(batch, timeout=0.1)
+                            break
+                        except queue.Full:
+                            continue
                 epoch += 1
 
         th = threading.Thread(target=producer, daemon=True)
@@ -90,4 +100,13 @@ class PrefetchLoader:
                 yield q.get()
         finally:
             stop.set()
+            # drain so a producer parked in q.put can observe stop, then
+            # join it BEFORE the executor shutdown — the producer must
+            # never touch a shut-down pool
+            while th.is_alive():
+                try:
+                    q.get_nowait()
+                except queue.Empty:
+                    pass
+                th.join(timeout=0.05)
             pool.shutdown(wait=False, cancel_futures=True)
