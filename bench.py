@@ -15,8 +15,8 @@ GPU.  We use REFERENCE_IMGS_PER_SEC = 1.0 as the documented proxy, so
 vs_baseline = measured imgs/sec / 1.0 (BASELINE.json's target is >= 10x).
 """
 
+import argparse
 import json
-import sys
 import time
 
 REFERENCE_IMGS_PER_SEC = 1.0
@@ -37,11 +37,15 @@ def main():
 
     enable_compilation_cache()
 
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quantize", choices=("none", "int8"), default="none",
+                    help="opt-in int8 A/B (driver runs default bf16)")
+    args = ap.parse_args()
+
     cfg = default_config()
-    if "--quantize" in sys.argv:  # opt-in int8 A/B (driver runs default bf16)
-        q = sys.argv[sys.argv.index("--quantize") + 1]
+    if args.quantize != "none":
         cfg = dataclasses.replace(
-            cfg, model=dataclasses.replace(cfg.model, quantize=q))
+            cfg, model=dataclasses.replace(cfg.model, quantize=args.quantize))
     pipe = DewarpPipeline.create(cfg, rng=jax.random.PRNGKey(0))
 
     # staged jits keep each remote-compile unit under the tunnel's request

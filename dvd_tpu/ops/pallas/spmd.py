@@ -25,8 +25,15 @@ def ambient_mesh():
         m = thread_resources.env.physical_mesh
         if m is not None and not m.empty and m.size > 1:
             return m
-    except Exception:
-        pass
+    except (ImportError, AttributeError):
+        # private-API move: fail loudly where silence would mean
+        # per-chip full-batch replication instead of per-shard dispatch
+        import jax
+
+        if jax.device_count() > 1:
+            raise RuntimeError(
+                "jax._src.mesh.thread_resources moved; Pallas SPMD "
+                "mesh detection is broken — update ambient_mesh()")
     return None
 
 
