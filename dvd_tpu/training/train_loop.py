@@ -38,6 +38,12 @@ from dvd_tpu.training.train_state import (create_train_state, make_optimizer,
 from dvd_tpu.utils.logger import KVLogger, log_loss_quartiles
 
 
+def train_aux_vars(pipe: DewarpPipeline):
+    """The frozen-net variables ``build_device_batch`` needs, as one
+    traced-argument tuple (weight-free HLO; see build_device_batch)."""
+    return (pipe.seg_vars, pipe.line_vars, pipe.vgg_vars)
+
+
 def build_device_batch(pipe: DewarpPipeline, aux_vars,
                        raw: Dict[str, jnp.ndarray],
                        latent: int) -> Dict[str, jnp.ndarray]:
@@ -45,36 +51,53 @@ def build_device_batch(pipe: DewarpPipeline, aux_vars,
 
     raw: source_image (B,512,512,3) [0,1], doc_mask (B,512,512,1),
          flow_map / flow_map_inter (B,512,512,2) absolute offsets.
-    ``aux_vars = (seg_vars, line_vars)`` must be traced jit arguments (not
-    closure constants) to keep the HLO weight-free.
+    ``aux_vars = (seg_vars, line_vars, vgg_vars)`` must be traced jit
+    arguments (not closure constants) to keep the HLO weight-free.
+
+    Conditioning streams honor the reference's training-side flags
+    (``train_util.py:275-304``): with ``use_gt_mask=True`` neither the seg
+    pyramid nor the line stream is computed (``:291-293``); the line
+    stream additionally needs ``use_line_mask=True`` (``:288-290``); with
+    ``train_VGG=False`` the external torchvision-VGG features replace the
+    DiT's private pyramid (``:296-304``, same `extract_raw_features_single2`
+    the serving side uses).
     """
-    seg_vars, line_vars = aux_vars
-    per = pipe.cfg.model.perception_size
+    seg_vars, line_vars, vgg_vars = aux_vars
+    m = pipe.cfg.model
+    per = m.perception_size
     src = raw["source_image"]
     h = src.shape[1]
-    src288 = resize_bilinear(src, (per, per), align_corners=True)
-
-    mskx, _, hx6, hx5d, hx4d, hx3d, hx2d, hx1d = pipe.seg.apply(
-        seg_vars, src288)
-    seg_map_all = seg_pyramid_to_latent((hx6, hx5d, hx4d, hx3d, hx2d, hx1d),
-                                        latent)
-    line_feat, _ = pipe.line.apply(line_vars, mskx)
-    line_msk = resize_bilinear(line_feat, (latent, latent), align_corners=False)
 
     scale = jnp.asarray([h - 1.0, h - 1.0], jnp.float32)
     flow = raw["flow_map"] / scale
     flow_inter = raw["flow_map_inter"] / scale
     flow64 = resize_bilinear(flow, (latent, latent), align_corners=True)
 
-    return {
+    batch = {
         "y512": src,
         "mask_cat": raw["doc_mask"],
-        "mask_y512": seg_map_all,
-        "line_msk": line_msk,
         "flow64": flow64,
         "flow_inter": flow_inter,
         "mask": jnp.ones((src.shape[0], h, h, 1), jnp.float32),
     }
+
+    if not m.use_gt_mask:
+        src288 = resize_bilinear(src, (per, per), align_corners=True)
+        mskx, _, hx6, hx5d, hx4d, hx3d, hx2d, hx1d = pipe.seg.apply(
+            seg_vars, src288)
+        batch["mask_y512"] = seg_pyramid_to_latent(
+            (hx6, hx5d, hx4d, hx3d, hx2d, hx1d), latent)
+        if m.use_line_mask:
+            line_feat, _ = pipe.line.apply(line_vars, mskx)
+            batch["line_msk"] = resize_bilinear(
+                line_feat, (latent, latent), align_corners=False)
+
+    if not m.train_VGG:
+        from dvd_tpu.models.vgg import c20_for_dit
+
+        feats = pipe.vgg.apply(vgg_vars, src, mode="eigth")
+        batch["src_feat"] = c20_for_dit(feats, latent)
+    return batch
 
 
 def put_global_batch(raw: Dict[str, np.ndarray], batch_sh) -> Dict[str, jnp.ndarray]:
@@ -161,7 +184,7 @@ def train(cfg: DvDConfig, data_iter: Iterator[Dict[str, np.ndarray]],
 
         prep_jit = jax.jit(
             lambda aux, raw: build_device_batch(pipe, aux, raw, latent))
-        prep = lambda raw: prep_jit((pipe.seg_vars, pipe.line_vars), raw)
+        prep = lambda raw: prep_jit(train_aux_vars(pipe), raw)
         step_fn = jax.jit(train_step, donate_argnums=(0,))
 
         rng = jax.random.PRNGKey(cfg.train.seed)

@@ -90,6 +90,13 @@ def make_train_step(
       flow_inter  (B, 512, 512, 2)  intermediate offsets
       mask        (B, 512, 512, 1)  loss mask
     """
+    if cfg.model.quantize != "none":
+        # QDense is a serving-only path: jnp.round has zero gradient a.e.,
+        # so training through it would silently freeze the quantized
+        # matmuls (ops/quant.py documents the invariant)
+        raise ValueError(
+            f"model.quantize={cfg.model.quantize!r} cannot be trained "
+            "through; set quantize='none' for training")
     ema_rates = cfg.train.ema_rates
     s = cfg.model.image_size
     use_tv = bool(cfg.model.time_variant) and cfg.model.iter
@@ -108,7 +115,8 @@ def make_train_step(
                 {"params": params, "batch_stats": batch_stats},
                 x, tt,
                 y512=cond["y512"], mask_cat=cond.get("mask_cat"),
-                mask_y512=cond["mask_y512"], line_msk=cond["line_msk"],
+                mask_y512=cond.get("mask_y512"),
+                line_msk=cond.get("line_msk"),
                 src_feat=cond.get("src_feat"),
                 init_flow=init_flow, init_feat=init_feat,
                 seed_init_feat=seed_init_feat,
@@ -120,7 +128,13 @@ def make_train_step(
             mutable_bs.update(new_state.get("batch_stats", {}))
             return out
 
-        cond = {k: batch[k] for k in ("y512", "mask_cat", "mask_y512", "line_msk")}
+        # conditioning streams mirror the reference's flag handling
+        # (train_util.py:318-328): mask_y512/line_msk/src_feat are present
+        # in the batch only per use_gt_mask/use_line_mask/train_VGG — see
+        # train_loop.build_device_batch
+        cond = {k: batch[k]
+                for k in ("y512", "mask_cat", "mask_y512", "line_msk",
+                          "src_feat") if k in batch}
         if hoist_pyramid:
             # compute the DiT's private conditioning pyramid ONCE per step
             # and feed it through the src_feat bypass: its input (y512 [+

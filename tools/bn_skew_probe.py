@@ -37,7 +37,7 @@ raw = {k: jnp.asarray(np.stack([ds.__getitem__(i, seed=i)[k]
                                 for i in range(2)]))
        for k in ("source_image", "doc_mask", "flow_map", "flow_map_inter")}
 batch = jax.jit(lambda aux, r: TL.build_device_batch(pipe, aux, r, 64))(
-    (pipe.seg_vars, pipe.line_vars), raw)
+    TL.train_aux_vars(pipe), raw)
 
 t = jnp.zeros((2,), jnp.float32)   # supervised-style t=0 call
 x = jax.random.normal(jax.random.PRNGKey(0), (2, 64, 64, 2)) * 0.1

@@ -38,7 +38,7 @@ raw = {k: jnp.asarray(np.stack([ds.__getitem__(i, seed=i)[k]
                                 for i in range(b)]))
        for k in ("source_image", "doc_mask", "flow_map", "flow_map_inter")}
 batch = jax.jit(lambda aux, r: TL.build_device_batch(pipe, aux, r, 64))(
-    (pipe.seg_vars, pipe.line_vars), raw)
+    TL.train_aux_vars(pipe), raw)
 
 def model_fn(x, tt, cond, *, init_flow, init_feat, seed_init_feat,
              remap_timesteps):

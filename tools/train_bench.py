@@ -178,7 +178,7 @@ def main():
             # original param buffers that rollout_ab reads via pipe.dit_vars
             raw0 = {k: jax.device_put(jax.numpy.asarray(v), batch_sh)
                     for k, v in next(it).items()}
-            batch0 = prep_jit((pipe.seg_vars, pipe.line_vars), raw0)
+            batch0 = prep_jit(TL.train_aux_vars(pipe), raw0)
             ab = rollout_ab(cfg, sched, pipe, batch0, rng)
             print("rollout A/B:", ab, flush=True)
         t_wall0 = time.perf_counter()
@@ -187,7 +187,7 @@ def main():
             raw = {k: jax.device_put(jax.numpy.asarray(v), batch_sh)
                    for k, v in raw.items()}
             t0 = time.perf_counter()
-            batch = prep_jit((pipe.seg_vars, pipe.line_vars), raw)
+            batch = prep_jit(TL.train_aux_vars(pipe), raw)
             state, metrics = step_fn(state, batch, rng)
             loss = float(metrics["loss"])  # sync point
             dt = time.perf_counter() - t0

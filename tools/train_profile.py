@@ -68,7 +68,7 @@ def main():
     raw = {k: jnp.asarray(v) for k, v in next(iter(loader)).items()}
     batch = jax.jit(
         lambda aux, r: TL.build_device_batch(pipe, aux, r, latent)
-    )((pipe.seg_vars, pipe.line_vars), raw)
+    )(TL.train_aux_vars(pipe), raw)
     batch = jax.tree.map(lambda x: x.block_until_ready(), batch)
 
     # 64^2 loss ablation: same step fn, small-plane flow_inter/mask
