@@ -194,7 +194,14 @@ def base_grid_abs(size: int = 512) -> np.ndarray:
 
 @dataclasses.dataclass
 class Doc3DDataset:
-    """Map-style dataset; __getitem__(i, seed) is pure given (i, seed)."""
+    """Map-style dataset; __getitem__(i, seed) is pure given (i, seed).
+
+    ``load_fn`` parameterizes the sample decode: the bm.mat loader for
+    Doc3D (reference ``default_loader3``) or the warped_BM.npz loader for
+    the aug_doc family (``default_loader2`` — see dvd_tpu.data.doc_npz);
+    everything downstream (tight crop, bg compositing, intermediate warp,
+    jitter) is shared, as in the reference's Aug_ListDataset /
+    Aug_Doc3d_ListDataset twins (listdataset.py:293-470, 560-711)."""
 
     samples: Sequence[Tuple[str, str, str]]
     textures: Sequence[str] = ()
@@ -202,13 +209,15 @@ class Doc3DDataset:
     inter_T: int = 20
     augment: bool = True
     jitter: bool = True
+    load_fn: Optional[object] = None   # (img, bm, recon paths) -> triple
 
     def __len__(self) -> int:
         return len(self.samples)
 
     def __getitem__(self, index: int, seed: Optional[int] = None) -> Dict[str, np.ndarray]:
         rng = random.Random(seed if seed is not None else index)
-        img, bm, mask = load_sample(*self.samples[index])
+        loader = self.load_fn or load_sample
+        img, bm, mask = loader(*self.samples[index])
         mask = mask.reshape(512, 512, 1)
 
         texture = None

@@ -25,12 +25,28 @@ def data_iterator(cfg, seed: int):
 
     from dvd_tpu.data.doc3d import (Doc3DDataset, load_texture_list,
                                     make_doc3d_sample_list)
+    from dvd_tpu.data.doc_npz import (AugDocNpzDataset, DocNpzDataset,
+                                      make_doc_sample_list)
     from dvd_tpu.data.loader import PrefetchLoader
 
-    samples = make_doc3d_sample_list(cfg.data.data_root)
     textures = (load_texture_list(cfg.data.texture_list)
                 if cfg.data.texture_list else ())
-    ds = Doc3DDataset(samples=samples, textures=textures)
+    # dataset_name switch, matching the reference's train_TDiff.py:99-127
+    # (doc_debug -> Doc_Dataset, aug_doc -> Aug_Doc_Dataset, doc3d ->
+    # Doc3d_Dataset; its Mix_Dataset import is broken upstream — see
+    # dvd_tpu/data/doc_npz.py)
+    name = cfg.data.dataset_name
+    if name == "doc3d":
+        ds = Doc3DDataset(samples=make_doc3d_sample_list(cfg.data.data_root),
+                          textures=textures)
+    elif name == "doc_debug":
+        ds = DocNpzDataset(samples=make_doc_sample_list(cfg.data.data_root))
+    elif name == "aug_doc":
+        ds = AugDocNpzDataset(samples=make_doc_sample_list(cfg.data.data_root),
+                              textures=textures)
+    else:
+        raise ValueError(f"unknown dataset_name {name!r} "
+                         "(doc3d | doc_debug | aug_doc)")
     return PrefetchLoader(ds, batch_size=cfg.train.batch_size,
                           num_workers=cfg.data.n_threads, seed=seed,
                           keys=("source_image", "doc_mask",
@@ -78,6 +94,7 @@ def main(argv=None):
     if args.synthetic:
         import os
 
+        from dvd_tpu.data.doc_npz import write_synthetic_doc_npz
         from dvd_tpu.data.synthetic import write_synthetic_doc3d
 
         # never generate into a real dataset root: make_doc3d_sample_list
@@ -85,7 +102,10 @@ def main(argv=None):
         # Doc3D samples would silently pollute later real training runs
         root = (os.path.join(cfg.data.data_root, "synthetic")
                 if cfg.data.data_root else "checkpoints/synthetic_doc3d")
-        write_synthetic_doc3d(root, args.synthetic, seed=args.seed)
+        if cfg.data.dataset_name == "doc3d":
+            write_synthetic_doc3d(root, args.synthetic, seed=args.seed)
+        else:
+            write_synthetic_doc_npz(root, args.synthetic, seed=args.seed)
         cfg = cfg.replace(data={"data_root": root})
     loader = data_iterator(cfg, args.seed)
     mapped = ({"source_image": b["source_image"],
