@@ -99,9 +99,22 @@ def run_benchmark(
 
         replicated = NamedSharding(mesh, P())
         batch_sh = NamedSharding(mesh, P("data"))
-        for attr in ("dit_vars", "seg_vars", "line_vars", "geotr_vars"):
-            setattr(pipe, attr, jax.tree.map(
-                lambda x: jax.device_put(x, replicated), getattr(pipe, attr)))
+        for attr in ("seg_vars", "line_vars", "geotr_vars", "vgg_vars"):
+            if getattr(pipe, attr) is not None:
+                setattr(pipe, attr, jax.tree.map(
+                    lambda x: jax.device_put(x, replicated),
+                    getattr(pipe, attr)))
+        if mesh.shape.get("model", 1) > 1:
+            # tensor-parallel serving: the DiT blocks + SATRN decoder
+            # projections shard over the model axis (same _TP_RULES the
+            # training step uses); XLA inserts the head-gather collectives
+            # on ICI.  Aux conv nets stay replicated — they are batch-bound.
+            from dvd_tpu.parallel.mesh import shard_params
+
+            pipe.dit_vars = shard_params(pipe.dit_vars, mesh)
+        else:
+            pipe.dit_vars = jax.tree.map(
+                lambda x: jax.device_put(x, replicated), pipe.dit_vars)
         put_batch = lambda x: jax.device_put(jnp.asarray(x), batch_sh)
 
     cond_fn, sample_fn = pipe.jitted_stages()

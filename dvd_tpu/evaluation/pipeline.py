@@ -151,6 +151,9 @@ class DewarpPipeline:
                 mask_y512=cond.get("mask_y512"),
                 line_msk=cond.get("line_msk"),
                 src_feat=cond.get("src_feat"),
+                cond_tokens=cond.get("cond_tokens"),
+                msk6_tokens=cond.get("msk6_tokens"),
+                line_tokens=cond.get("line_tokens"),
                 init_flow=init_flow, init_feat=init_feat,
                 seed_init_feat=seed_init_feat,
                 remap_timesteps=remap_timesteps,
@@ -208,6 +211,7 @@ class DewarpPipeline:
     def sampling_impl(self, dit_vars, cond, init_flow, init_feat, rng):
         """Diffusion stage (conditioning precomputed)."""
         cond = self._hoist_pyramid(dit_vars, cond)
+        cond = self._hoist_stream_tokens(dit_vars, cond)
         result = ddim_sample_loop(
             self.make_dit_fn(dit_vars), self.sched, cond, init_flow,
             init_feat if self.cfg.model.time_variant else None,
@@ -240,6 +244,25 @@ class DewarpPipeline:
         out["src_feat"] = conditioning_pyramid_features(
             dit_vars["params"]["pyramid"], cond["y512"],
             cond.get("mask_cat"), self.cfg.model.image_size, self.dit.dtype)
+        return out
+
+    def _hoist_stream_tokens(self, dit_vars, cond):
+        """Hoist the step/hypothesis-invariant c/m/l patch embedders out of
+        the DDIM loop (see ``dit.embed_stream_tokens``): T x n_batch
+        embedder calls per image become one, and the (N, S, S, 384/64)
+        raw streams never get hypothesis-tiled — only their (N, T, 384)
+        token forms do (6x smaller for mask_y512), which also shrinks the
+        scan-resident footprint at large batch."""
+        if cond.get("src_feat") is None:  # non-production DiT variants
+            return cond
+        from dvd_tpu.models.dit import embed_stream_tokens
+
+        out = dict(cond)
+        out.update(embed_stream_tokens(
+            self.dit, dit_vars["params"],
+            feat=cond["src_feat"],
+            mask_y512=out.pop("mask_y512", None),
+            line_msk=out.pop("line_msk", None)))
         return out
 
     def build_conditioning(self, source512: jnp.ndarray):

@@ -91,6 +91,42 @@ class ConditioningPyramid(nn.Module):
         return x
 
 
+def embed_stream_tokens(
+    dit: "DiT",
+    params: Any,
+    feat: Optional[jnp.ndarray] = None,        # (N, S, S, 256) pyramid/VGG
+    mask_y512: Optional[jnp.ndarray] = None,   # (N, S, S, 384)
+    line_msk: Optional[jnp.ndarray] = None,    # (N, S, S, 64)
+) -> dict:
+    """The c/m/l patch-embedder outputs (+pos), as a standalone function
+    over the DiT param tree.
+
+    These conditioning streams are constant across the DDIM steps AND the
+    n_batch hypotheses, yet the in-model path recomputes each embedder
+    T x n_batch times per image (the reference recomputes them inside
+    every denoiser call, ``cross_model.py:586-611``).  Serving hoists
+    them here — once per image batch, before hypothesis tiling — and
+    feeds them back through the ``*_tokens`` bypasses of
+    :meth:`DiT.__call__`.  Bit-identical by construction: the SAME flax
+    submodules run on the same inputs (conv then +pos, same dtype), just
+    outside the sampling loop.
+    """
+    grid = dit.input_size // dit.patch_size
+    pos = jnp.asarray(
+        get_2d_sincos_pos_embed(dit.hidden_size, grid), dit.dtype)[None]
+    emb = lambda sub, x: PatchEmbed(dit.patch_size, dit.hidden_size,
+                                    dit.dtype).apply(
+        {"params": params[sub]}, x.astype(dit.dtype)) + pos
+    out = {}
+    if feat is not None:
+        out["cond_tokens"] = emb("c_embedder", feat)
+    if mask_y512 is not None:
+        out["msk6_tokens"] = emb("m_embedder", mask_y512)
+    if line_msk is not None:
+        out["line_tokens"] = emb("l_embedder", line_msk)
+    return out
+
+
 def conditioning_pyramid_features(
     pyramid_params: Any,
     y512: jnp.ndarray,
@@ -254,6 +290,13 @@ class DiT(nn.Module):
         seed_init_feat: Optional[jnp.ndarray] = None,  # (N,) bool: t == T-1
         remap_timesteps: bool = True,
         train: bool = False,
+        # serving-only embedder bypasses (see embed_stream_tokens): the
+        # c/m/l streams are step- and hypothesis-invariant, so the sampler
+        # hoists their patchify out of the DDIM loop.  When a *_tokens
+        # input is given the corresponding raw input may be None.
+        cond_tokens: Optional[jnp.ndarray] = None,     # (N, T, D)
+        msk6_tokens: Optional[jnp.ndarray] = None,     # (N, T, D)
+        line_tokens: Optional[jnp.ndarray] = None,     # (N, T, D)
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         grid = self.input_size // self.patch_size
         pos = jnp.asarray(
@@ -286,9 +329,16 @@ class DiT(nn.Module):
                     feat, (self.input_size, self.input_size), True)
         if src_feat is not None:
             feat = src_feat.astype(self.dtype)
-        cond = embed("c_embedder")(feat) + pos
+        if cond_tokens is not None and not self.is_initializing():
+            assert src_feat is not None, \
+                "cond_tokens bypass still needs src_feat (tv seed + return)"
+            cond = cond_tokens.astype(self.dtype)
+        else:
+            cond = embed("c_embedder")(feat) + pos
         msk6 = None
-        if mask_y512 is not None:
+        if msk6_tokens is not None and not self.is_initializing():
+            msk6 = msk6_tokens.astype(self.dtype)
+        elif mask_y512 is not None:
             msk6 = embed("m_embedder")(mask_y512.astype(self.dtype)) + pos
 
         r = None
@@ -306,7 +356,9 @@ class DiT(nn.Module):
             r = embed("r_embedder")(r_in) + pos
 
         msk_line = None
-        if line_msk is not None:
+        if line_tokens is not None and not self.is_initializing():
+            msk_line = line_tokens.astype(self.dtype)
+        elif line_msk is not None:
             msk_line = embed("l_embedder")(line_msk.astype(self.dtype)) + pos
 
         blocks = [

@@ -152,3 +152,34 @@ def test_non_tv_has_three_streams():
     assert pred.shape == (2, S, S, 2)
     dec_kernel = params["params"]["decoder"]["layer_stack_0"]["attn"]["linear_q"]["kernel"]
     assert dec_kernel.shape[0] == 3 * 48
+
+
+def test_stream_token_bypass_bit_exact(dit_and_params):
+    """The serving-side embedder hoist (embed_stream_tokens + the
+    *_tokens bypasses) is bit-identical to the in-model path: same flax
+    submodules, same inputs, just outside the sampling loop."""
+    from dvd_tpu.models.dit import (conditioning_pyramid_features,
+                                    embed_stream_tokens)
+
+    model, params = dit_and_params
+    cond = _cond_inputs()
+    x = jax.random.normal(jax.random.PRNGKey(5), (2, S, S, 2)) * 0.1
+    t = jnp.array([666.7, 333.3])
+    # perturb the final layer so outputs are nonzero (adaLN-zero init)
+    params = _perturb_final_layer(params)
+
+    ref, ref_feat = model.apply(params, x, t, **cond)
+
+    src_feat = conditioning_pyramid_features(
+        params["params"]["pyramid"],
+        cond["y512"], cond["mask_cat"], S, model.dtype)
+    toks = embed_stream_tokens(
+        model, params["params"], feat=src_feat,
+        mask_y512=cond["mask_y512"], line_msk=cond["line_msk"])
+    assert set(toks) == {"cond_tokens", "msk6_tokens", "line_tokens"}
+    hoisted = dict(cond, mask_y512=None, line_msk=None,
+                   src_feat=src_feat, **toks)
+    out, out_feat = model.apply(params, x, t, **hoisted)
+
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(out))
+    np.testing.assert_array_equal(np.asarray(ref_feat), np.asarray(out_feat))
