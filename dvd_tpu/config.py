@@ -134,6 +134,11 @@ class TrainConfig:
     use_fp16: bool = False                    # torch-era flag; bf16 on TPU
     fp16_scale_growth: float = 1e-3
     seed: int = 0
+    # TPU-native addition (no reference analogue): run the 512^2
+    # intermediate warp + color jitter inside the jitted batch-prep on
+    # the accelerator instead of in host loader workers — the dataset
+    # must be built with device_aug=True (see data/device_aug.py)
+    on_device_aug: bool = False
 
     @property
     def ema_rates(self) -> Tuple[float, ...]:
@@ -160,6 +165,10 @@ class DataConfig:
     eval_dataset: str = ""
     n_threads: int = 4
     val_batch_size: int = 1
+    # intermediate-warp interpolation step t/T (the reference hard-codes
+    # t=0, listdataset.py:625); also consumed by the on-device-aug path
+    inter_t: int = 0
+    inter_T: int = 20
     # device-side eval batching (the reference loops bs=1; we batch)
     # per-device serving batch: 4 is the measured single-chip optimum on
     # v5e (38.7 imgs/s vs 35.5 at 8 — throughput *drops* beyond it); the

@@ -210,6 +210,10 @@ class Doc3DDataset:
     augment: bool = True
     jitter: bool = True
     load_fn: Optional[object] = None   # (img, bm, recon paths) -> triple
+    # opt-in: skip the host-side intermediate warp + jitter and ship the
+    # composited image + bm for dvd_tpu.data.device_aug.augment_batch to
+    # finish on the accelerator (keys: image512/doc_mask512/flow_map)
+    device_aug: bool = False
 
     def __len__(self) -> int:
         return len(self.samples)
@@ -237,6 +241,12 @@ class Doc3DDataset:
 
         base = base_grid_abs(512)
         frac = self.inter_t / self.inter_T
+        if self.device_aug:
+            return {
+                "image512": np.asarray(img, np.float32),          # [0,255]
+                "doc_mask512": mask.astype(np.float32),
+                "flow_map": (bm - base).astype(np.float32),
+            }
         bm_inter = ((1 - frac) * base + frac * bm).astype(np.float32)
 
         src = bilinear_warp_np(np.asarray(img, np.float32), bm_inter) / 255.0

@@ -182,9 +182,25 @@ def train(cfg: DvDConfig, data_iter: Iterator[Dict[str, np.ndarray]],
             jax.tree.map(jax.device_put, e, psh) for e in state.ema_params)
         batch_sh = NamedSharding(mesh, P("data"))
 
-        prep_jit = jax.jit(
-            lambda aux, raw: build_device_batch(pipe, aux, raw, latent))
-        prep = lambda raw: prep_jit(train_aux_vars(pipe), raw)
+        if cfg.train.on_device_aug:
+            # raw batch = decoded/composited image + bm (dataset built
+            # with device_aug=True); warp + jitter run on-device first
+            from dvd_tpu.data.device_aug import augment_batch
+
+            frac = cfg.data.inter_t / cfg.data.inter_T
+
+            def _prep(aux, raw, key):
+                raw = augment_batch(raw, key, inter_frac=frac)
+                return build_device_batch(pipe, aux, raw, latent)
+
+            prep_jit = jax.jit(_prep)
+            aug_rng = jax.random.PRNGKey(cfg.train.seed ^ 0x5EED)
+            prep = lambda raw, s: prep_jit(
+                train_aux_vars(pipe), raw, jax.random.fold_in(aug_rng, s))
+        else:
+            prep_jit = jax.jit(
+                lambda aux, raw: build_device_batch(pipe, aux, raw, latent))
+            prep = lambda raw, s: prep_jit(train_aux_vars(pipe), raw)
         step_fn = jax.jit(train_step, donate_argnums=(0,))
 
         rng = jax.random.PRNGKey(cfg.train.seed)
@@ -208,7 +224,7 @@ def train(cfg: DvDConfig, data_iter: Iterator[Dict[str, np.ndarray]],
             if max_steps is not None and step >= max_steps:
                 break
             raw = put_global_batch(raw, batch_sh)
-            batch = prep(raw)
+            batch = prep(raw, step)
             state, metrics = step_fn(state, batch, rng)
             inflight.append(metrics["grad_norm"])
             if len(inflight) > 4:

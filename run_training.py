@@ -36,21 +36,29 @@ def data_iterator(cfg, seed: int):
     # Doc3d_Dataset; its Mix_Dataset import is broken upstream — see
     # dvd_tpu/data/doc_npz.py)
     name = cfg.data.dataset_name
+    dev_aug = cfg.train.on_device_aug
+    it, iT = cfg.data.inter_t, cfg.data.inter_T
     if name == "doc3d":
         ds = Doc3DDataset(samples=make_doc3d_sample_list(cfg.data.data_root),
-                          textures=textures)
+                          textures=textures, inter_t=it, inter_T=iT,
+                          device_aug=dev_aug)
     elif name == "doc_debug":
+        if dev_aug:
+            raise ValueError("on_device_aug requires an augmenting dataset "
+                             "(doc3d | aug_doc); doc_debug has no warp/jitter")
         ds = DocNpzDataset(samples=make_doc_sample_list(cfg.data.data_root))
     elif name == "aug_doc":
         ds = AugDocNpzDataset(samples=make_doc_sample_list(cfg.data.data_root),
-                              textures=textures)
+                              textures=textures, inter_t=it, inter_T=iT,
+                              device_aug=dev_aug)
     else:
         raise ValueError(f"unknown dataset_name {name!r} "
                          "(doc3d | doc_debug | aug_doc)")
+    keys = (("image512", "doc_mask512", "flow_map") if dev_aug
+            else ("source_image", "doc_mask", "flow_map", "flow_map_inter"))
     return PrefetchLoader(ds, batch_size=cfg.train.batch_size,
                           num_workers=cfg.data.n_threads, seed=seed,
-                          keys=("source_image", "doc_mask",
-                                "flow_map", "flow_map_inter"),
+                          keys=keys,
                           process_index=jax.process_index(),
                           process_count=jax.process_count())
 

@@ -112,6 +112,11 @@ def main():
     ap.add_argument("--n_samples", type=int, default=64)
     ap.add_argument("--out", default="docs/TRAIN_BENCH_r2.json")
     ap.add_argument("--skip_ab", action="store_true")
+    ap.add_argument("--on_device_aug", action="store_true",
+                    help="run the 512^2 intermediate warp + color jitter "
+                         "on-device (data/device_aug.py) instead of in "
+                         "loader workers — measures the loader-bound "
+                         "wall-clock win")
     args = ap.parse_args()
 
     import jax
@@ -134,10 +139,11 @@ def main():
     cfg = cfg.replace(data={"data_root": root})
 
     samples = make_doc3d_sample_list(root, split_ratio=1.0)
-    ds = Doc3DDataset(samples=samples)
+    ds = Doc3DDataset(samples=samples, device_aug=args.on_device_aug)
+    keys = (("image512", "doc_mask512", "flow_map") if args.on_device_aug
+            else ("source_image", "doc_mask", "flow_map", "flow_map_inter"))
     loader = PrefetchLoader(ds, batch_size=args.batch, num_workers=2, seed=0,
-                            keys=("source_image", "doc_mask",
-                                  "flow_map", "flow_map_inter"))
+                            keys=keys)
 
     # --- full train path with instrumentation ---------------------------
     from dvd_tpu.training import train_loop as TL
@@ -166,8 +172,28 @@ def main():
         state.ema_params = tuple(
             jax.tree.map(jax.device_put, e, psh) for e in state.ema_params)
         batch_sh = NamedSharding(mesh, P("data"))
-        prep_jit = jax.jit(
-            lambda aux, raw: TL.build_device_batch(pipe, aux, raw, latent))
+        if args.on_device_aug:
+            from dvd_tpu.data.device_aug import augment_batch
+
+            frac = cfg.data.inter_t / cfg.data.inter_T
+            aug_rng = jax.random.PRNGKey(0x5EED)
+
+            def _prep(aux, raw, key):
+                return TL.build_device_batch(
+                    pipe, aux, augment_batch(raw, key, inter_frac=frac),
+                    latent)
+
+            import itertools
+
+            _prep_jit = jax.jit(_prep)
+            _ctr = itertools.count()
+
+            def prep_jit(aux, raw):
+                return _prep_jit(aux, raw,
+                                 jax.random.fold_in(aug_rng, next(_ctr)))
+        else:
+            prep_jit = jax.jit(
+                lambda aux, raw: TL.build_device_batch(pipe, aux, raw, latent))
         step_fn = jax.jit(train_step, donate_argnums=(0,))
         rng = jax.random.PRNGKey(0)
 
@@ -202,6 +228,7 @@ def main():
         "device": str(jax.devices()[0]),
         "batch": args.batch,
         "steps": args.steps,
+        "on_device_aug": bool(args.on_device_aug),
         # device step (conditioning prep + train step), loader excluded —
         # the TPU-side number; the loader is host-core-bound here
         "steps_per_sec": 1.0 / float(np.mean(steady)),
