@@ -8,14 +8,18 @@ offline MATLAB pipeline, ``matlab_code/run_benchmark.m`` /
   K = (0.01, 0.03), L = 255, on grayscale.
 - :func:`local_distortion` — LD: mean magnitude of the dense registration
   flow from rectified -> ground-truth scan.  The MATLAB original
-  registers with SIFTflow; here registration uses the in-tree C++ engine
-  (``dvd_tpu.native``) or OpenCV DIS.  **Measured error bounds** (vs the
-  analytically-known registration flow on warped text documents, 2-16 px
-  LD range — see ``evaluation/calibrate.py`` and the shipped snapshot
-  ``docs/registration_calibration.json``): native median |rel err| 0.9%
-  LD / 0.9% AD (max 4.1% at the 16 px extreme), DIS 0.4% / 0.5% (max
-  2.8%), and both backends rank-order warp severities identically to the
-  oracle (Spearman 1.0), so cross-method comparisons are preserved.
+  registers with SIFTflow (integer-valued flow); here registration uses
+  the in-tree C++ engine (``dvd_tpu.native``, *sub-pixel* — engine v3,
+  an intentional protocol deviation: parabolic refinement removes the
+  +-0.5 px quantization bias integer flow adds to small LDs) or OpenCV
+  DIS.  **Measured error bounds** (vs the analytically-known
+  registration flow on warped text documents, 2-16 px LD range — see
+  ``evaluation/calibrate.py`` and the shipped snapshot
+  ``docs/registration_calibration.json``, regenerated for engine v3):
+  native median |rel err| 0.57% LD / 0.51% AD (max 2.2%), DIS 0.42% /
+  0.49% (max 2.8%), and both backends rank-order warp severities
+  identically to the oracle (Spearman 1.0), so cross-method comparisons
+  are preserved.
 - :func:`aligned_distortion` — AD (Ma et al.): registration flow with the
   global translation removed, weighted by GT gradient magnitude.
 - :func:`resize_keep_ar` — the DocUNet protocol's area-598400 resize

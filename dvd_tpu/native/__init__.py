@@ -33,9 +33,12 @@ _build_error: Optional[str] = None
 
 def _build() -> Optional[str]:
     """Compile the shared library; returns an error string on failure."""
+    # -ffp-contract=off pins FMA contraction so the flow field is
+    # reproducible across hosts/compilers (the engine's outputs feed the
+    # calibrated LD/AD bounds in docs/registration_calibration.json).
     cmd = [
-        "g++", "-O3", "-march=native", "-shared", "-fPIC", "-fopenmp",
-        "-std=c++17", _SRC, "-o", _LIB_PATH,
+        "g++", "-O3", "-march=native", "-ffp-contract=off", "-shared",
+        "-fPIC", "-fopenmp", "-std=c++17", _SRC, "-o", _LIB_PATH,
     ]
     try:
         proc = subprocess.run(cmd, capture_output=True, text=True, timeout=300)

@@ -143,6 +143,13 @@ inline float desc_dist(const float* a, const float* b) {
 inline float subpixel_offset(float cm, float c0, float cp) {
   float denom = cm - 2.f * c0 + cp;
   if (denom <= 1e-12f) return 0.f;           // flat / not a minimum
+  // An (essentially) exact match: the L1 descriptor cost is V-shaped with
+  // its true minimum exactly at the integer winner, so neighbor asymmetry
+  // carries no sub-pixel information — a parabola fit through c0 ~ 0 would
+  // fabricate an offset of up to +-0.5 px (the identity-image bias fixed in
+  // engine version 3).  Descriptors are L1-normalized, so costs are
+  // comparable across pixels and a relative guard is safe.
+  if (c0 <= 1e-3f * 0.5f * (cm + cp)) return 0.f;
   float off = 0.5f * (cm - cp) / denom;
   return off < -0.5f ? -0.5f : (off > 0.5f ? 0.5f : off);
 }
@@ -330,6 +337,8 @@ void sift_flow(const float* im1, const float* im2, int h, int w,
   std::memcpy(flow_out, flow.data.data(), sizeof(float) * (size_t)h * w * 2);
 }
 
-int siftflow_version() { return 2; }  // 2: sub-pixel parabolic refinement
+// 2: sub-pixel parabolic refinement; 3: exact-match guard (zero offset when
+// the center cost is ~0 — kills the identity-image flow bias).
+int siftflow_version() { return 3; }
 
 }  // extern "C"
