@@ -29,18 +29,44 @@ import re
 from typing import List, Optional, Tuple
 
 
-def pair_key(name: str) -> Optional[Tuple[int, int]]:
-    """(k, m) from a prediction filename.
+# Anchored filename patterns, tried in order (ADVICE r3: the loose
+# first-two-integers heuristic mis-paired names with incidental leading
+# digits).  Each entry: (compiled pattern over the stem, (k_group, m_group)).
+_PAIR_PATTERNS = [
+    # AnyPhotoDoc 5-int names `x_a_b_k_m[_geo]` — k/m are the 4th/5th ints
+    # (run.m:55 `warped_(\d+)_(\d+)_(\d+)_(\d+)_(\d+).png`; run_50.m /
+    # run_100.m construct `{x}_{a}_{b}_{k}_{m}.jpg`).
+    (re.compile(r"^(?:warped_)?(\d+)_(\d+)_(\d+)_(\d+)_(\d+)(?:_geo)?$"),
+     (3, 4)),
+    # DocUNet/DocReal: `warped_{k}_{m} copy` (run_benchmark.m:40),
+    # `{k}_{m} copy_rec` (run_docunet.m:41 / run_docreal.m:41), plus the
+    # commented alternates `{k}_{m}[_geo|_rec|_unwarp]` and plain `{k}_{m}`.
+    (re.compile(r"^(?:warped_)?(\d+)_(\d+)"
+                r"(?: copy)?(?:_geo|_rec|_unwarp)?$"), (0, 1)),
+    (re.compile(r"^warped_img_(\d+)$"), (0, None)),
+    (re.compile(r"^(\d+)$"), (0, None)),        # GT scans: `{k}.png`/`%02d.png`
+]
 
-    The reference reads ``warped_{k}_{m} copy.png`` against GT
-    ``{k}.png`` (run_benchmark.m:36-40); we take the first integer as k
-    and the second (if any) as m so plain ``{k}_{m}.png`` /
-    ``warped_img_{k}.png`` layouts pair too.
+
+def pair_key(name: str) -> Optional[Tuple[int, int]]:
+    """(k, m) from a prediction/GT filename.
+
+    Tries the reference runners' anchored patterns first; falls back to
+    the *last* two integers (the ``{k}_{m}`` suffix convention survives
+    prefixed resolution/step counts, e.g. ``out512_3_1.png`` -> (3, 1)).
     """
-    ints = re.findall(r"\d+", name)
+    stem = os.path.splitext(name)[0]
+    for pat, (ki, mi) in _PAIR_PATTERNS:
+        mobj = pat.match(stem)
+        if mobj:
+            g = mobj.groups()
+            return int(g[ki]), (int(g[mi]) if mi is not None else 0)
+    ints = re.findall(r"\d+", stem)
     if not ints:
         return None
-    return int(ints[0]), int(ints[1]) if len(ints) > 1 else 0
+    if len(ints) == 1:
+        return int(ints[0]), 0
+    return int(ints[-2]), int(ints[-1])
 
 
 def _metric_row(job):
@@ -151,6 +177,122 @@ def run(cfg, gt_dir: str, *, seed: int = 42, workers: int = 8,
     return summary
 
 
+def _category_dirs(root: str) -> List[str]:
+    return sorted(d for d in os.listdir(root)
+                  if os.path.isdir(os.path.join(root, d)))
+
+
+def evaluate_categories(pred_root: str, gt_root: str, *,
+                        area: Optional[float] = 598400.0,
+                        workers: int = 8,
+                        flow_backend: str = "auto") -> dict:
+    """Per-category benchmark reporting (the AnyPhotoDoc protocol).
+
+    The reference scores each layout category with a separate MATLAB run
+    — one (gtdir, imdir) pair per invocation of ``matlab_code/run.m`` /
+    ``run_50.m`` / ``run_100.m``, where gtdir is a category folder
+    (single_column, two_column, three_more_columns, commercial_invoice,
+    education, book, sparse_text, consumption_receipt) — and the paper
+    reports per-category means.  Here one call walks every matching
+    ``{gt_root}/{cat}`` vs ``{pred_root}/{cat}`` pair, writes the usual
+    adres.txt/adres.json *inside each category's prediction dir*, and an
+    aggregate ``adres_categories.json`` (+ printed table) at the root.
+    """
+    cats = _category_dirs(gt_root)
+    if not cats:
+        raise SystemExit(f"no category subdirectories under {gt_root}")
+    per_cat = {}
+    for cat in cats:
+        pred_dir = os.path.join(pred_root, cat)
+        if not os.path.isdir(pred_dir):
+            print(f"skip category {cat}: no predictions at {pred_dir}")
+            continue
+        print(f"— category {cat} —")
+        per_cat[cat] = evaluate_predictions(
+            pred_dir, os.path.join(gt_root, cat), area=area,
+            workers=workers, flow_backend=flow_backend)
+    if not per_cat:
+        raise SystemExit("no category had predictions")
+
+    total = sum(s["count"] for s in per_cat.values())
+    overall = {k: sum(s[k] * s["count"] for s in per_cat.values()) / total
+               for k in ("ms_ssim", "ld", "ad")}
+    report = {
+        "categories": {c: {k: s[k] for k in
+                           ("count", "failed", "ms_ssim", "ld", "ad")}
+                       for c, s in per_cat.items()},
+        "overall": {**overall, "count": total},
+    }
+    with open(os.path.join(pred_root, "adres_categories.json"), "w") as f:
+        json.dump(report, f, indent=2)
+
+    name_w = max(len(c) for c in per_cat) + 2
+    print(f"\n{'category':<{name_w}} {'n':>4} {'ms_ssim':>8} {'ld':>8} "
+          f"{'ad':>8}")
+    for c, s in per_cat.items():
+        print(f"{c:<{name_w}} {s['count']:>4} {s['ms_ssim']:8.4f} "
+              f"{s['ld']:8.3f} {s['ad']:8.4f}")
+    print(f"{'overall':<{name_w}} {total:>4} {overall['ms_ssim']:8.4f} "
+          f"{overall['ld']:8.3f} {overall['ad']:8.4f}")
+    return report
+
+
+def run_categories(cfg, dataset_root: str, gt_root: str, *, seed: int = 42,
+                   workers: int = 8, area: Optional[float] = 598400.0,
+                   flow_backend: str = "auto") -> dict:
+    """Sample + score every category subdir, reusing ONE pipeline (and its
+    compiled stages) across categories — the per-category MATLAB protocol
+    without paying model build/compile per category."""
+    import jax
+
+    from dvd_tpu.data.benchmark import BenchmarkDataset
+    from dvd_tpu.evaluation.driver import run_benchmark
+    from dvd_tpu.evaluation.pipeline import DewarpPipeline
+    from dvd_tpu.training.checkpoint import maybe_load_pipeline_weights
+
+    pipe = DewarpPipeline.create(cfg, rng=jax.random.PRNGKey(cfg.train.seed))
+    maybe_load_pipeline_weights(pipe, cfg)
+    pred_root = os.path.join(
+        "vis_hp", cfg.data.eval_dataset_name, cfg.name)
+    global_batch = cfg.data.eval_device_batch * max(1, jax.device_count())
+    for cat in _category_dirs(dataset_root):
+        ds = BenchmarkDataset.from_dir(os.path.join(dataset_root, cat),
+                                       source_size=cfg.model.source_size)
+        stats = run_benchmark(pipe, ds, os.path.join(pred_root, cat),
+                              batch_size=global_batch,
+                              rng=jax.random.PRNGKey(seed), mesh="auto")
+        print(f"category {cat}: {stats['images']} images at "
+              f"{stats['imgs_per_sec']} imgs/sec")
+    # predictions land in {pred_root}/{cat}/dewarped_pred; score those
+    return evaluate_categories_nested(pred_root, gt_root, area=area,
+                                      workers=workers,
+                                      flow_backend=flow_backend)
+
+
+def evaluate_categories_nested(pred_root: str, gt_root: str, **kw) -> dict:
+    """Like :func:`evaluate_categories` but predictions live at
+    ``{pred_root}/{cat}/dewarped_pred`` (the sampling driver's layout)."""
+    import tempfile
+
+    cats = _category_dirs(pred_root)
+    link_root = tempfile.mkdtemp(prefix="dvd_cat_")
+    made_any = False
+    for cat in cats:
+        inner = os.path.join(pred_root, cat, "dewarped_pred")
+        if os.path.isdir(inner):
+            os.symlink(os.path.abspath(inner), os.path.join(link_root, cat))
+            made_any = True
+    if not made_any:   # flat layout: {pred_root}/{cat}/ holds PNGs directly
+        return evaluate_categories(pred_root, gt_root, **kw)
+    report = evaluate_categories(link_root, gt_root, **kw)
+    import shutil
+
+    shutil.move(os.path.join(link_root, "adres_categories.json"),
+                os.path.join(pred_root, "adres_categories.json"))
+    shutil.rmtree(link_root, ignore_errors=True)
+    return report
+
+
 def main(argv=None):
     from run_sampling import parse_overrides
 
@@ -172,12 +314,17 @@ def main(argv=None):
     ap.add_argument("--skip_sampling", action="store_true",
                     help="--dataset is an existing prediction dir (e.g. "
                          "vis_hp/.../dewarped_pred); score it only")
+    ap.add_argument("--per_category", action="store_true",
+                    help="AnyPhotoDoc/DocReal-style per-category protocol: "
+                         "--dataset and --gt hold matching category "
+                         "subdirectories (matlab_code/run.m per-gtdir runs); "
+                         "emits per-category means + adres_categories.json")
     a = ap.parse_args(argv)
 
     if a.skip_sampling:
-        evaluate_predictions(a.dataset, a.gt, area=a.area or None,
-                             workers=a.workers,
-                             flow_backend=a.flow_backend)
+        score = evaluate_categories if a.per_category else evaluate_predictions
+        score(a.dataset, a.gt, area=a.area or None, workers=a.workers,
+              flow_backend=a.flow_backend)
         return
 
     import dataclasses
@@ -194,8 +341,12 @@ def main(argv=None):
         over["data"]["eval_device_batch"] = a.batch
     cfg = dataclasses.replace(cfg.replace(**over), name=a.name)
 
-    run(cfg, a.gt, seed=a.seed, workers=a.workers, area=a.area or None,
-        flow_backend=a.flow_backend, skip_sampling=a.skip_sampling)
+    if a.per_category:
+        run_categories(cfg, a.dataset, a.gt, seed=a.seed, workers=a.workers,
+                       area=a.area or None, flow_backend=a.flow_backend)
+    else:
+        run(cfg, a.gt, seed=a.seed, workers=a.workers, area=a.area or None,
+            flow_backend=a.flow_backend)
 
 
 if __name__ == "__main__":

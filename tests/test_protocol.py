@@ -16,8 +16,22 @@ def test_pair_key_convention():
     # run_benchmark.m:36-40: pred 'warped_{k}_{m} copy.png' vs GT '{k}.png'
     assert pair_key("warped_12_2 copy.png") == (12, 2)
     assert pair_key("7.png") == (7, 0)
+    assert pair_key("07.png") == (7, 0)          # AnyPhotoDoc GT '%02d.png'
     assert pair_key("warped_img_3.png") == (3, 0)
     assert pair_key("nodigits.png") is None
+    # run_docunet.m:41 / run_docreal.m:41 '{k}_{m} copy_rec.png' + the
+    # commented alternates '{k}_{m}[_geo|_rec|_unwarp].png'
+    assert pair_key("5_2 copy_rec.png") == (5, 2)
+    assert pair_key("5_2_geo.png") == (5, 2)
+    assert pair_key("5_2_unwarp.png") == (5, 2)
+    # AnyPhotoDoc 5-int names (run.m:55, run_50.m/run_100.m '{x}_{a}_{b}_'
+    # '{k}_{m}.jpg'): k/m are the 4th/5th integers, NOT the first two
+    assert pair_key("6_1_2_14_2.jpg") == (14, 2)
+    assert pair_key("warped_6_1_2_14_2.png") == (14, 2)
+    assert pair_key("warped_6_1_2_14_2_geo.png") == (14, 2)
+    # incidental leading digits (ADVICE r3): fall back to the LAST two ints
+    assert pair_key("warped512_3_1.png") == (3, 1)
+    assert pair_key("out_256px_step3_11_2.png") == (11, 2)
 
 
 def _doc_image(rng, h=90, w=70):
@@ -78,6 +92,72 @@ def test_failed_pair_gets_sentinel_row(pred_gt_dirs):
     sent = table[(table[:, 0] == 2) & (table[:, 1] == 2)][0]
     assert list(sent[2:]) == [-1.0, -1.0, -1.0]
     assert summary["ms_ssim"] > 0.98   # mean over valid rows only
+
+
+def test_main_skip_sampling(pred_gt_dirs, capsys):
+    """Drive the real CLI surface (r3 shipped a TypeError in main() that
+    run()-level tests missed)."""
+    from dvd_tpu.cli.benchmark import main
+
+    pred_dir, gt_dir = pred_gt_dirs
+    main(["--dataset", pred_dir, "--gt", gt_dir, "--skip_sampling",
+          "--workers", "1", "--area", "0"])
+    assert os.path.exists(os.path.join(pred_dir, "adres.txt"))
+    assert "mean" in capsys.readouterr().out
+
+
+def test_main_sampling_branch_plumbing(tmp_path, monkeypatch):
+    """main()'s sampling branch must bind run()'s signature — stub run()
+    and check the config/kwargs it receives."""
+    from dvd_tpu.cli import benchmark as B
+
+    seen = {}
+    monkeypatch.setattr(B, "run",
+                        lambda cfg, gt, **kw: seen.update(cfg=cfg, gt=gt, **kw))
+    B.main(["--dataset", str(tmp_path / "crop"), "--gt", str(tmp_path / "gt"),
+            "--name", "x", "--batch", "2", "--workers", "1",
+            "--set", "diffusion.n_batch=1"])
+    assert seen["gt"] == str(tmp_path / "gt")
+    assert seen["cfg"].data.eval_device_batch == 2
+    assert seen["cfg"].diffusion.n_batch == 1
+    assert seen["workers"] == 1 and "skip_sampling" not in seen
+
+    # and the per-category dispatch binds run_categories' signature
+    seen.clear()
+    monkeypatch.setattr(B, "run_categories",
+                        lambda cfg, ds, gt, **kw: seen.update(ds=ds, gt=gt, **kw))
+    B.main(["--dataset", "d", "--gt", "g", "--per_category", "--workers", "1"])
+    assert seen["ds"] == "d" and seen["gt"] == "g"
+
+
+def test_evaluate_categories(tmp_path, capsys):
+    """AnyPhotoDoc-style per-category protocol (run.m per-gtdir runs):
+    matching category subdirs -> per-category means + overall table."""
+    from dvd_tpu.cli.benchmark import evaluate_categories
+
+    rng = np.random.RandomState(3)
+    gt_root, pred_root = tmp_path / "gt", tmp_path / "pred"
+    for cat, n in (("book", 2), ("two_column", 1)):
+        (gt_root / cat).mkdir(parents=True)
+        (pred_root / cat).mkdir(parents=True)
+        for k in range(1, n + 1):
+            gt = _doc_image(rng)
+            Image.fromarray(gt).save(gt_root / cat / f"{k:02d}.png")
+            # 5-int AnyPhotoDoc naming: x_a_b_k_m
+            Image.fromarray(gt).save(pred_root / cat / f"6_1_2_{k}_1.png")
+    report = evaluate_categories(str(pred_root), str(gt_root),
+                                 area=None, workers=1)
+    assert set(report["categories"]) == {"book", "two_column"}
+    assert report["categories"]["book"]["count"] == 2
+    assert report["overall"]["count"] == 3
+    assert report["overall"]["ms_ssim"] > 0.98
+    with open(pred_root / "adres_categories.json") as f:
+        js = json.load(f)
+    assert js["overall"]["count"] == 3
+    # per-category adres.txt written inside each category dir
+    assert (pred_root / "book" / "adres.txt").exists()
+    out = capsys.readouterr().out
+    assert "book" in out and "overall" in out
 
 
 @pytest.mark.slow
