@@ -65,9 +65,15 @@ def ddim_sample_loop(
     eta: float = 0.0,
     clip_denoised: bool = False,
     unroll: bool = False,
+    init_noise: Optional[jnp.ndarray] = None,
 ) -> SampleResult:
     """Full T-step DDIM inference (reference ddim_sample_loop +
-    ddim_sample_loop_progressive_only_mean)."""
+    ddim_sample_loop_progressive_only_mean).
+
+    ``init_noise``: optional (n_batch*B, S, S, 2) x_T draw, hypothesis-major
+    — replaces the internal Gaussian draw (used by parity tests that must
+    feed both frameworks identical noise; reference draws it internally at
+    gaussian_diffusion.py:568)."""
     b = init_flow.shape[0]
     s = latent_size
     T = sched.num_timesteps
@@ -78,7 +84,8 @@ def ddim_sample_loop(
 
     nb = n_batch * b
     rng, rng_noise = jax.random.split(rng)
-    x = jax.random.normal(rng, (nb, s, s, 2), dtype=jnp.float32)
+    x = init_noise if init_noise is not None else \
+        jax.random.normal(rng, (nb, s, s, 2), dtype=jnp.float32)
 
     if init_feat_r is None:
         init_feat_r = jnp.zeros((nb, s, s, 256), jnp.float32)

@@ -32,6 +32,17 @@ from dvd_tpu.models.transformer_denoiser import TransformerDenoiser
 from dvd_tpu.models.unet_denoiser import UNetDenoiser
 
 
+DIT_MODES = ("stage_1_dit_cross", "stage_1_dit_cat")
+
+
+def is_dit_mode(mode: str) -> bool:
+    """True for the production DiT modes; False for the alternative
+    denoiser families (UNet / pure-transformer / GeoTr2), which take the
+    reference's unet-era call convention (x, t, src_feat, init_flow) and
+    train through the plain masked MSE (train_util.py:350-366 dispatch)."""
+    return mode in DIT_MODES
+
+
 def attention_ds(image_size: int, attention_resolutions: str) -> Tuple[int, ...]:
     """'16,8' -> downsample ratios (script_util.py:164-168)."""
     return tuple(image_size // int(r)
@@ -44,11 +55,12 @@ def create_model(cfg: DvDConfig):
     dtype = jnp.dtype(m.compute_dtype) if m.compute_dtype != "float32" \
         else jnp.float32
 
-    if mode in ("stage_1_dit_cross", "stage_1_dit_cat"):
+    if mode in DIT_MODES:
         return make_dit(
             m.dit_variant, input_size=m.image_size, in_channels=m.in_channels,
             separate_cross_attn=m.separate_cross_attn,
             tv=bool(m.time_variant), chain_blocks=m.chain_blocks, dtype=dtype,
+            quant=(m.quantize == "int8"),
         )
     ds = attention_ds(m.image_size, m.attention_resolutions)
     if mode == "stage_1":

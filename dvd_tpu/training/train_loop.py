@@ -81,6 +81,18 @@ def build_device_batch(pipe: DewarpPipeline, aux_vars,
         "mask": jnp.ones((src.shape[0], h, h, 1), jnp.float32),
     }
 
+    from dvd_tpu.models.registry import is_dit_mode
+
+    if not is_dit_mode(m.train_mode):
+        # alternative denoisers take only the 64-ch VGG feature plane
+        # (extract_raw_features_single, eval_utils.py:148) — no seg/line
+        # streams, no DiT pyramid
+        from dvd_tpu.models.vgg import c20_for_unet
+
+        feats = pipe.vgg.apply(vgg_vars, src, mode="eigth")
+        batch["src_feat"] = c20_for_unet(feats, latent)
+        return batch
+
     if not m.use_gt_mask:
         src288 = resize_bilinear(src, (per, per), align_corners=True)
         mskx, _, hx6, hx5d, hx4d, hx3d, hx2d, hx1d = pipe.seg.apply(

@@ -97,14 +97,38 @@ def make_train_step(
         raise ValueError(
             f"model.quantize={cfg.model.quantize!r} cannot be trained "
             "through; set quantize='none' for training")
+    from dvd_tpu.models.registry import is_dit_mode
+
     ema_rates = cfg.train.ema_rates
     s = cfg.model.image_size
-    use_tv = bool(cfg.model.time_variant) and cfg.model.iter
+    is_dit = is_dit_mode(cfg.model.train_mode)
+    use_tv = bool(cfg.model.time_variant) and cfg.model.iter and is_dit
     # the pyramid hoist only applies to the production DiT (which has the
     # src_feat bypass); alternative denoisers take cond dicts without it
-    hoist_pyramid = cfg.model.train_mode in (
-        "stage_1_dit_cross", "stage_1_dit_cat") and cfg.model.train_VGG
+    hoist_pyramid = is_dit and cfg.model.train_VGG
     model_dtype = jnp.dtype(cfg.model.compute_dtype)
+
+    def alt_loss_fn(params, batch_stats, batch, t, rng):
+        """Alternative denoiser families (stage_1 / stage_1_transformer /
+        stage_1_doctr): the reference's non-iter, non-DiT dispatch routes
+        through the plain masked MSE (train_util.py:350-366 with
+        ``training_losses``, gaussian_diffusion.py:1062-1102); the model
+        takes (x, t, src_feat, init_flow) with SpacedDiffusion-rescaled
+        timesteps (applied inside plain_masked_mse via G.model_t)."""
+        del batch_stats   # alt families carry no BN running stats
+
+        def model_fn(x, tt, cond, **kw):
+            out = dit_apply({"params": params}, x, tt,
+                            src_feat=cond["src_feat"],
+                            init_flow=kw["init_flow"])
+            return out[0] if isinstance(out, tuple) else out
+
+        b = batch["flow64"].shape[0]
+        terms = L.plain_masked_mse(
+            model_fn, sched, {"src_feat": batch["src_feat"]},
+            batch["flow64"], batch["mask"], t, rng,
+            init_flow=jnp.zeros((b, s, s, 2), jnp.float32))
+        return terms["loss"], (terms, {})
 
     def loss_fn(params, batch_stats, batch, t, rng):
         mutable_bs = {}
@@ -167,6 +191,9 @@ def make_train_step(
                 init_feat if cfg.model.time_variant else None,
                 batch["flow64"], batch["flow_inter"], batch["mask"], t, rng)
         return terms["loss"], (terms, mutable_bs)
+
+    if not is_dit:
+        loss_fn = alt_loss_fn   # noqa: F811 — registry train_mode dispatch
 
     def train_step(state: TrainState, batch: Dict[str, jnp.ndarray],
                    rng: jax.Array) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
