@@ -20,7 +20,8 @@ import json
 import time
 
 REFERENCE_IMGS_PER_SEC = 1.0
-BATCH = 4     # measured single-chip optimum on v5e (throughput drops >4)
+BATCH = 4     # single-chip optimum on v5e: 45.7 imgs/s vs 42.6@8,
+              # 40.4@16 (docs/STAGE_PROFILE_r3.json)
 WARMUP = 3
 ITERS = 30
 

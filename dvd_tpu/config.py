@@ -171,8 +171,9 @@ class DataConfig:
     inter_T: int = 20
     # device-side eval batching (the reference loops bs=1; we batch)
     # per-device serving batch: 4 is the measured single-chip optimum on
-    # v5e (38.7 imgs/s vs 35.5 at 8 — throughput *drops* beyond it); the
-    # driver multiplies by jax.device_count() for the global batch
+    # v5e (45.7 imgs/s vs 42.6 at 8 / 40.4 at 16 — throughput *drops*
+    # beyond it; docs/STAGE_PROFILE_r3.json); the driver multiplies by
+    # jax.device_count() for the global batch
     eval_device_batch: int = 4
 
 

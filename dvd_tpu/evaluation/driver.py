@@ -15,6 +15,7 @@ Replaces the reference's bs=1 per-image Python loop
 
 from __future__ import annotations
 
+import functools
 import json
 import os
 import time
@@ -27,6 +28,17 @@ import numpy as np
 from dvd_tpu.config import DvDConfig
 from dvd_tpu.data.benchmark import BenchmarkDataset
 from dvd_tpu.evaluation.pipeline import DewarpPipeline, unwarp_native
+
+
+@functools.lru_cache(maxsize=8)
+def _unwarp_jit(data_size: int, mesh):
+    """One jitted unwarp per (data_size, mesh): repeated run_benchmark
+    calls (corruption sweep: 75 combos; per-category protocol) must reuse
+    the compiled executable instead of retracing a fresh lambda."""
+    return jax.jit(lambda p, hw, f: jnp.clip(jnp.round(
+        unwarp_native(p.astype(jnp.float32), hw, f,
+                      batch_divisor=data_size, mesh=mesh)), 0.0, 255.0
+    ).astype(jnp.uint8))
 
 
 def save_png(path: str, arr: np.ndarray) -> None:
@@ -126,10 +138,7 @@ def run_benchmark(
     # canvas size and the whole batch unwarps in one dispatch; the chunk
     # is sized to the per-device shard of the batch.
     data_size = mesh.shape["data"] if mesh is not None else 1
-    unwarp = jax.jit(lambda p, hw, f: jnp.clip(jnp.round(
-        unwarp_native(p.astype(jnp.float32), hw, f,
-                      batch_divisor=data_size, mesh=mesh)), 0.0, 255.0
-    ).astype(jnp.uint8))
+    unwarp = _unwarp_jit(data_size, mesh)
 
     def dewarp(src, step_rng):
         cond, init_flow, init_feat = cond_fn(src)

@@ -137,10 +137,13 @@ def dewarp_single_image(cfg, image_path, out_path, seed):
     print(f"wrote {out_path} (+ .coords.npy)")
 
 
-def run_corruption_sweep(cfg, args):
-    """Reference run_sampling.py:52-58: severities x corruption ids."""
-    import dataclasses
+def run_corruption_sweep(cfg, args, severities=(1, 2, 3, 4, 5)):
+    """Reference run_sampling.py:52-58: severities x corruption ids.
 
+    One ``DewarpPipeline`` serves every (corruption, severity) combination
+    — its jitted stages are cached on the instance, so the 75-combo sweep
+    compiles the two serving stages exactly once instead of retracing per
+    combo.  Returns ``(pipe, {(name, sev): stats})``."""
     import jax
 
     from dvd_tpu.data.benchmark import BenchmarkDataset
@@ -155,7 +158,6 @@ def run_corruption_sweep(cfg, args):
     if unknown:
         raise SystemExit(
             f"unknown corruption(s) {unknown}; valid: {sorted(CORRUPTIONS)}")
-    severities = [1, 2, 3, 4, 5]
 
     pipe = DewarpPipeline.create(cfg, rng=jax.random.PRNGKey(args.seed))
     maybe_load_pipeline_weights(pipe, cfg)
@@ -166,6 +168,7 @@ def run_corruption_sweep(cfg, args):
 
     import numpy as np
 
+    results = {}
     for name in names:
         for sev in severities:
             class CorruptedDS(BenchmarkDataset):
@@ -186,6 +189,8 @@ def run_corruption_sweep(cfg, args):
                                   rng=jax.random.PRNGKey(args.seed))
             print(f"{name} s{sev}: {stats['imgs_per_sec']} imgs/sec, "
                   f"{stats['images']} images")
+            results[(name, sev)] = stats
+    return pipe, results
 
 
 if __name__ == "__main__":

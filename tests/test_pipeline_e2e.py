@@ -97,3 +97,50 @@ def test_unwarp_identity_flow_recovers_image():
     flow = np.zeros((1, 16, 16, 2), np.float32)
     out = np.asarray(unwarp_fixed(jnp.asarray(src), jnp.asarray(flow), shrink=1.0))
     np.testing.assert_allclose(out, src, atol=1e-4)
+
+
+@pytest.mark.slow
+def test_corruption_sweep_reuses_compiled_stages(tmp_path, monkeypatch):
+    """run_sampling's corruption sweep (reference run_sampling.py:52-58):
+    every (corruption, severity) combo must reuse ONE pipeline and its
+    compiled stages — r3 retraced both jitted stages per combo."""
+    import dataclasses
+    import sys
+
+    from PIL import Image
+
+    sys.path.insert(0, ".")
+    from run_sampling import run_corruption_sweep
+
+    rng = np.random.RandomState(0)
+    ds_dir = tmp_path / "ds"
+    ds_dir.mkdir()
+    for k in (1, 2):
+        Image.fromarray(
+            (rng.rand(96, 80, 3) * 255).astype(np.uint8)
+        ).save(ds_dir / f"{k}_1 copy.png")
+
+    cfg = default_config().replace(
+        model={"image_size": 16, "source_size": 128, "perception_size": 64,
+               "dit_variant": "DiT-S/8", "compute_dtype": "float32"},
+        diffusion={"n_batch": 2},
+        data={"eval_dataset": str(ds_dir), "eval_dataset_name": "synth",
+              "eval_device_batch": 2},
+    )
+    cfg = dataclasses.replace(cfg, name="sweep")
+    monkeypatch.chdir(tmp_path)
+
+    args = type("A", (), {"corruption": "gaussian_noise", "seed": 0})
+    pipe, results = run_corruption_sweep(cfg, args, severities=(1, 2))
+
+    assert set(results) == {("gaussian_noise", 1), ("gaussian_noise", 2)}
+    for (name, sev), stats in results.items():
+        assert stats["images"] == 2
+        out = tmp_path / "vis_hp" / "synth" / f"sweep_corrupt_{name}_s{sev}"
+        assert (out / "dewarped_pred").is_dir()
+        assert len(list((out / "dewarped_pred").glob("warped_*.png"))) == 2
+    # the hoisted jitted stages compiled exactly once across combos
+    assert pipe._stage_jits is not None
+    cond_jit, sample_jit = pipe._stage_jits
+    assert cond_jit._cache_size() == 1
+    assert sample_jit._cache_size() == 1
