@@ -208,6 +208,7 @@ def main():
             ab = rollout_ab(cfg, sched, pipe, batch0, rng)
             print("rollout A/B:", ab, flush=True)
         t_wall0 = time.perf_counter()
+        resident = []          # last few prepped (device-side) batches
         for i in range(args.steps):
             raw = next(it)
             raw = {k: jax.device_put(jax.numpy.asarray(v), batch_sh)
@@ -219,18 +220,49 @@ def main():
             dt = time.perf_counter() - t0
             losses.append(loss)
             times.append(dt)
+            resident.append(raw)
+            if len(resident) > 8:
+                resident.pop(0)
             if i % 10 == 0:
                 print(f"step {i}: loss={loss:.5f} {dt*1000:.0f} ms", flush=True)
 
-    t_wall = time.perf_counter() - t_wall0
+        t_wall = time.perf_counter() - t_wall0
+
+        # --- device-resident steady state ------------------------------
+        # The streamed loop above syncs the host on every step (loss
+        # readback) and streams ~65 MB of raw batch per step, so through
+        # the remote-TPU tunnel (~27 ms scalar RTT, ~20 MB/s measured
+        # 2026-08-19) its number is transfer/RTT-bound, not compute-bound.
+        # Real TPU hosts feed over local PCIe.  This phase isolates the
+        # device-side cost the way the production loop actually runs
+        # (bcf5b48 removed per-step syncs): RAW batches pre-staged in HBM,
+        # per-step conditioning prep + donated train step chained with NO
+        # host readback until one final loss read that transitively
+        # depends on every step (prep_i -> step_i -> state_{i+1}).
+        dev_steps = min(args.steps, 100)
+        aux = TL.train_aux_vars(pipe)
+        for b in resident:    # force transfers outside the timed window
+            jax.block_until_ready(b)
+        t0 = time.perf_counter()
+        for i in range(dev_steps):
+            batch = prep_jit(aux, resident[i % len(resident)])
+            state, metrics = step_fn(state, batch, rng)
+        float(metrics["loss"])   # chain sync
+        dev_dt = time.perf_counter() - t0
     steady = times[max(1, len(times) // 5):]
     result = {
         "device": str(jax.devices()[0]),
         "batch": args.batch,
         "steps": args.steps,
         "on_device_aug": bool(args.on_device_aug),
-        # device step (conditioning prep + train step), loader excluded —
-        # the TPU-side number; the loader is host-core-bound here
+        # device-resident chained steps (raw batches pre-staged in HBM,
+        # zero host syncs inside the window) — the TPU compute number,
+        # comparable across rounds/hosts
+        "device_steps_per_sec": dev_steps / dev_dt,
+        "device_samples_per_sec": args.batch * dev_steps / dev_dt,
+        # per-step (conditioning prep + train step + loss readback),
+        # loader excluded but host<->device transfer + RTT included —
+        # tunnel-bound in this environment (see comment above)
         "steps_per_sec": 1.0 / float(np.mean(steady)),
         "samples_per_sec": args.batch / float(np.mean(steady)),
         # end-to-end incl. the Python loader (1 CPU core in this env);
