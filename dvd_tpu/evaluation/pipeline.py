@@ -67,8 +67,10 @@ class DewarpPipeline:
         # (reference script_util.py:93-203) — the production DiT or one of
         # the alternative families (stage_1 UNet / stage_1_transformer /
         # stage_1_doctr), all servable through the same DDIM stages
-        from dvd_tpu.models.registry import create_model, is_dit_mode
+        from dvd_tpu.models.registry import (
+            check_driver_mode, create_model, is_dit_mode)
 
+        check_driver_mode(m.train_mode)
         if not is_dit_mode(m.train_mode) and m.train_VGG:
             raise ValueError(
                 f"train_mode={m.train_mode!r} needs the external VGG "
@@ -144,9 +146,14 @@ class DewarpPipeline:
         src = self.cfg.model.source_size
         per = self.cfg.model.perception_size
         img288 = jnp.zeros((1, per, per, 3))
-        self.seg_vars = jax.jit(self.seg.init)(k2, img288)
-        self.line_vars = jax.jit(self.line.init)(k3, img288)
-        self.geotr_vars = jax.jit(self.geotr.init)(k4, img288)
+        if self.is_dit:
+            # alt families never consume the seg pyramid / line features
+            # (conditioning_impl's alt branch) — skip their init entirely,
+            # and GeoTr matters to them only as the init_flow seed
+            self.seg_vars = jax.jit(self.seg.init)(k2, img288)
+            self.line_vars = jax.jit(self.line.init)(k3, img288)
+        if self.is_dit or self.cfg.model.use_init_flow:
+            self.geotr_vars = jax.jit(self.geotr.init)(k4, img288)
         if not self.cfg.model.train_VGG:
             from dvd_tpu.models.vgg import VGG16Pyramid
 
@@ -211,17 +218,17 @@ class DewarpPipeline:
         b = source512.shape[0]
         src288 = resize_bilinear(source512, (per, per), align_corners=True)
 
-        ref_bm, mask512 = self.geotr.apply(geotr_vars, src288)
-
         if not self.is_dit:
             # alternative denoisers consume only the 64-ch VGG feature
             # plane (extract_raw_features_single, eval_utils.py:148) + the
-            # optional GeoTr init flow — no seg/line streams to compute
+            # optional GeoTr init flow — no seg/line streams to compute,
+            # and GeoTr runs only when its flow is actually consumed
             from dvd_tpu.models.vgg import c20_for_unet
 
             feats = self.vgg.apply(vgg_vars, source512, mode="eigth")
             cond = {"src_feat": c20_for_unet(feats, s)}
             if self.cfg.model.use_init_flow:
+                ref_bm, _ = self.geotr.apply(geotr_vars, src288)
                 ref_flow = ref_bm.astype(jnp.float32) / (per - 1.0)
                 init_flow = resize_bilinear(ref_flow, (s, s),
                                             align_corners=True)
@@ -229,6 +236,7 @@ class DewarpPipeline:
                 init_flow = jnp.zeros((b, s, s, 2), jnp.float32)
             return cond, init_flow, jnp.zeros((b, s, s, 256), jnp.float32)
 
+        ref_bm, mask512 = self.geotr.apply(geotr_vars, src288)
         cond = {"y512": source512, "mask_cat": mask512}
 
         mskx, _, hx6, hx5d, hx4d, hx3d, hx2d, hx1d = self.seg.apply(

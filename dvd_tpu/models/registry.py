@@ -34,6 +34,25 @@ from dvd_tpu.models.unet_denoiser import UNetDenoiser
 
 DIT_MODES = ("stage_1_dit_cross", "stage_1_dit_cat")
 
+# modes the training/serving drivers can actually condition: the DiT
+# families plus the alt families taking (x, t, src_feat64, init_flow).
+# 'sr' / 'trg_feat' are constructible (create_model parity with
+# script_util.py:168-203) but need conditioning inputs (low-res target /
+# correlation volume + target features) that no DvD entry point produces —
+# they are unreachable from the reference's run_training.py too.
+DRIVER_MODES = DIT_MODES + (
+    "stage_1", "stage_1_transformer", "stage_1_doctr")
+
+
+def check_driver_mode(mode: str) -> None:
+    """Reject train_modes the drivers cannot condition (loud, not silent)."""
+    if mode not in DRIVER_MODES:
+        raise NotImplementedError(
+            f"train_mode={mode!r} is constructible via create_model but not "
+            f"drivable end to end: the conditioning path produces only the "
+            f"(x, t, src_feat, init_flow) convention. Drivable modes: "
+            f"{DRIVER_MODES}")
+
 
 def is_dit_mode(mode: str) -> bool:
     """True for the production DiT modes; False for the alternative

@@ -12,7 +12,8 @@ one.
 Input assembly per mode (``unet.py:750-762``):
 - ``stage_1``: concat[src_feat(64), x(2), init_flow(2)] -> 68ch
 - ``trg_feat``: concat[x, init_flow, local_corr, l2norm(trg_feat)]
-- ``sr``: 85ch super-resolution variant (UNetModel_sr)
+- ``sr``: concat[x(2), init_flow(2), local_corr(81)] -> 85ch
+  (UNetModel_sr, ``unet.py:441-461``)
 
 Layout: NHWC.
 """
@@ -121,11 +122,19 @@ class UNetDenoiser(nn.Module):
             tf = trg_feat / (jnp.sqrt(jnp.sum(trg_feat**2, -1, keepdims=True))
                              + 1e-6)
             h = jnp.concatenate([x, init_flow, local_corr, tf], axis=-1)
+        elif self.train_mode == "sr":
+            h = jnp.concatenate([x, init_flow, local_corr], axis=-1)
         elif init_flow is not None:
             h = jnp.concatenate([src_feat, x, init_flow], axis=-1)
         else:
             h = jnp.concatenate([src_feat, x], axis=-1)
 
+        # flax infers in_conv's input dim from the concat — assert it
+        # matches the declared variant width so a wrong conditioning set
+        # fails loudly instead of silently building a different model
+        assert h.shape[-1] == self.in_channels, (
+            f"train_mode={self.train_mode!r} conditioning concat has "
+            f"{h.shape[-1]} channels, expected in_channels={self.in_channels}")
         h = nn.Conv(mc, (3, 3), padding=1, dtype=self.dtype, name="in_conv")(h)
         hs = [h]
         ds = 1

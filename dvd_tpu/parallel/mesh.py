@@ -64,6 +64,25 @@ _TP_RULES: Tuple[Tuple[str, P], ...] = (
 )
 
 
+def tp_rule_spec(path: str) -> Optional[P]:
+    """Raw (unfiltered) _TP_RULES spec for a param path, or None.
+
+    Unlike ``param_sharding_rules`` this does NOT fall back to replicated
+    when a dim fails to divide — divisibility guards must see the intended
+    spec, not the degraded one."""
+    for pat, spec in _TP_RULES:
+        if re.fullmatch(pat, path):
+            return spec
+    return None
+
+
+def param_path(keypath) -> str:
+    """'a/b/c' string for a jax tree keypath (matches _TP_RULES paths)."""
+    return "/".join(
+        getattr(k, "key", getattr(k, "idx", "?")).__str__() for k in keypath
+    )
+
+
 def param_sharding_rules(path: str, shape: Tuple[int, ...],
                          mesh: Mesh, fsdp: bool = False) -> P:
     """PartitionSpec for one parameter."""
@@ -96,10 +115,8 @@ def shard_params(params: Any, mesh: Mesh, fsdp: bool = False) -> Any:
     flat, treedef = jax.tree_util.tree_flatten_with_path(params)
     out = []
     for keypath, leaf in flat:
-        path = "/".join(
-            getattr(k, "key", getattr(k, "idx", "?")).__str__() for k in keypath
-        )
-        spec = param_sharding_rules(path, np.shape(leaf), mesh, fsdp)
+        spec = param_sharding_rules(
+            param_path(keypath), np.shape(leaf), mesh, fsdp)
         out.append(jax.device_put(leaf, NamedSharding(mesh, spec)))
     return jax.tree_util.tree_unflatten(treedef, out)
 
@@ -109,9 +126,8 @@ def sharding_tree(params: Any, mesh: Mesh, fsdp: bool = False) -> Any:
     flat, treedef = jax.tree_util.tree_flatten_with_path(params)
     out = []
     for keypath, leaf in flat:
-        path = "/".join(
-            getattr(k, "key", getattr(k, "idx", "?")).__str__() for k in keypath
-        )
         out.append(NamedSharding(
-            mesh, param_sharding_rules(path, np.shape(leaf), mesh, fsdp)))
+            mesh,
+            param_sharding_rules(
+                param_path(keypath), np.shape(leaf), mesh, fsdp)))
     return jax.tree_util.tree_unflatten(treedef, out)

@@ -97,8 +97,9 @@ def make_train_step(
         raise ValueError(
             f"model.quantize={cfg.model.quantize!r} cannot be trained "
             "through; set quantize='none' for training")
-    from dvd_tpu.models.registry import is_dit_mode
+    from dvd_tpu.models.registry import check_driver_mode, is_dit_mode
 
+    check_driver_mode(cfg.model.train_mode)
     ema_rates = cfg.train.ema_rates
     s = cfg.model.image_size
     is_dit = is_dit_mode(cfg.model.train_mode)

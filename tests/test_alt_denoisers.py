@@ -75,6 +75,7 @@ def test_geotr2_denoiser_shapes():
 
 @pytest.mark.parametrize("mode", [
     "stage_1_dit_cross", "stage_1", "stage_1_transformer", "stage_1_doctr",
+    "sr", "trg_feat",
 ])
 def test_registry_builds_every_mode(mode):
     cfg = default_config().replace(
@@ -83,6 +84,44 @@ def test_registry_builds_every_mode(mode):
     model, sched = create_model_and_diffusion(cfg)
     assert sched.num_timesteps == 3
     assert model is not None
+
+
+@pytest.mark.parametrize("mode,extra_ch", [("sr", 0), ("trg_feat", 64)])
+def test_sr_trg_feat_variants_callable(mode, extra_ch):
+    """sr: concat[x, init_flow, local_corr] = 85ch (unet.py:441-461);
+    trg_feat: + l2norm(trg_feat) = 149ch (script_util.py:168-170)."""
+    from dvd_tpu.models.unet_denoiser import UNetDenoiser
+
+    in_ch = 2 + 2 + 81 + extra_ch
+    m = UNetDenoiser(in_channels=in_ch, model_channels=32, num_res_blocks=1,
+                     attention_ds=(4, 8), num_heads=2, train_mode=mode)
+    d = _common()
+    kw = dict(init_flow=d["init_flow"],
+              local_corr=0.1 * jax.random.normal(
+                  jax.random.PRNGKey(3), (2, S, S, 81)))
+    if mode == "trg_feat":
+        kw["trg_feat"] = 0.1 * jax.random.normal(
+            jax.random.PRNGKey(4), (2, S, S, 64))
+    v = m.init(jax.random.PRNGKey(0), d["x"], d["t"], **kw)
+    out = m.apply(v, d["x"], d["t"], **kw)
+    assert out.shape == (2, S, S, 2)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+@pytest.mark.parametrize("mode", ["sr", "trg_feat"])
+def test_undrivable_modes_rejected_loudly(mode):
+    """sr/trg_feat are constructible (script_util parity) but neither
+    driver can condition them — both must refuse, not silently build the
+    wrong model."""
+    from dvd_tpu.evaluation.pipeline import DewarpPipeline
+    from dvd_tpu.training.train_state import make_optimizer, make_train_step
+
+    cfg = _alt_cfg(mode)
+    with pytest.raises(NotImplementedError, match="drivable"):
+        DewarpPipeline.create(cfg, rng=jax.random.PRNGKey(0))
+    model, sched = create_model_and_diffusion(cfg)
+    with pytest.raises(NotImplementedError, match="drivable"):
+        make_train_step(cfg, sched, model.apply, make_optimizer(cfg))
 
 
 # ---------------------------------------------------------------------------
