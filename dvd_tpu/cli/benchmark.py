@@ -66,6 +66,11 @@ def pair_key(name: str) -> Optional[Tuple[int, int]]:
         return None
     if len(ints) == 1:
         return int(ints[0]), 0
+    # Heuristic territory: no anchored runner pattern matched.  Say so —
+    # a silent mis-pair corrupts the whole table (ADVICE r3).
+    print(f"pair_key fallback for '{name}': taking last two integers "
+          f"({ints[-2]}, {ints[-1]}); rename to a runner convention "
+          f"(warped_{{k}}_{{m}}.png) if this pairing is wrong")
     return int(ints[-2]), int(ints[-1])
 
 
@@ -208,9 +213,14 @@ def evaluate_categories(pred_root: str, gt_root: str, *,
             print(f"skip category {cat}: no predictions at {pred_dir}")
             continue
         print(f"— category {cat} —")
-        per_cat[cat] = evaluate_predictions(
-            pred_dir, os.path.join(gt_root, cat), area=area,
-            workers=workers, flow_backend=flow_backend)
+        try:
+            per_cat[cat] = evaluate_predictions(
+                pred_dir, os.path.join(gt_root, cat), area=area,
+                workers=workers, flow_backend=flow_backend)
+        except SystemExit as e:
+            # an empty/failed category must not abort the other runners'
+            # categories (each is a separate MATLAB invocation upstream)
+            print(f"category {cat} failed: {e}")
     if not per_cat:
         raise SystemExit("no category had predictions")
 
@@ -276,13 +286,18 @@ def evaluate_categories_nested(pred_root: str, gt_root: str, **kw) -> dict:
 
     cats = _category_dirs(pred_root)
     link_root = tempfile.mkdtemp(prefix="dvd_cat_")
-    made_any = False
+    any_nested = False
     for cat in cats:
         inner = os.path.join(pred_root, cat, "dewarped_pred")
         if os.path.isdir(inner):
             os.symlink(os.path.abspath(inner), os.path.join(link_root, cat))
-            made_any = True
-    if not made_any:   # flat layout: {pred_root}/{cat}/ holds PNGs directly
+            any_nested = True
+        else:
+            # flat category (PNGs directly under {pred_root}/{cat}) — keep
+            # it in the run even when other categories are nested
+            os.symlink(os.path.abspath(os.path.join(pred_root, cat)),
+                       os.path.join(link_root, cat))
+    if not any_nested:  # flat layout: {pred_root}/{cat}/ holds PNGs directly
         return evaluate_categories(pred_root, gt_root, **kw)
     report = evaluate_categories(link_root, gt_root, **kw)
     import shutil
@@ -322,7 +337,11 @@ def main(argv=None):
     a = ap.parse_args(argv)
 
     if a.skip_sampling:
-        score = evaluate_categories if a.per_category else evaluate_predictions
+        # the nested scorer auto-detects flat vs sampled
+        # ({root}/{cat}/dewarped_pred) layouts, so --skip_sampling can
+        # re-score a prior --per_category sampling run's output root
+        score = (evaluate_categories_nested if a.per_category
+                 else evaluate_predictions)
         score(a.dataset, a.gt, area=a.area or None, workers=a.workers,
               flow_backend=a.flow_backend)
         return

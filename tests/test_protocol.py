@@ -160,6 +160,66 @@ def test_evaluate_categories(tmp_path, capsys):
     assert "book" in out and "overall" in out
 
 
+def test_pair_key_fallback_warns(capsys):
+    assert pair_key("warped512_3_1.png") == (3, 1)
+    assert "fallback" in capsys.readouterr().out
+
+
+def test_empty_category_does_not_abort(tmp_path, capsys):
+    """One category with no evaluable pairs must not abort the rest
+    (each category is a separate MATLAB invocation upstream)."""
+    from dvd_tpu.cli.benchmark import evaluate_categories
+
+    rng = np.random.RandomState(5)
+    gt_root, pred_root = tmp_path / "gt", tmp_path / "pred"
+    for cat in ("book", "empty_cat"):
+        (gt_root / cat).mkdir(parents=True)
+        (pred_root / cat).mkdir(parents=True)
+    gt = _doc_image(rng)
+    Image.fromarray(gt).save(gt_root / "book" / "01.png")
+    Image.fromarray(gt).save(pred_root / "book" / "warped_1_1 copy.png")
+    Image.fromarray(gt).save(gt_root / "empty_cat" / "01.png")
+    report = evaluate_categories(str(pred_root), str(gt_root),
+                                 area=None, workers=1)
+    assert set(report["categories"]) == {"book"}
+    assert "empty_cat failed" in capsys.readouterr().out
+
+
+def test_nested_and_mixed_category_layouts(tmp_path):
+    """--skip_sampling --per_category over a sampling run's output root:
+    {root}/{cat}/dewarped_pred, including a flat category mixed in."""
+    from dvd_tpu.cli.benchmark import main
+
+    rng = np.random.RandomState(7)
+    gt_root, pred_root = tmp_path / "gt", tmp_path / "pred"
+    # nested category (driver layout)
+    (gt_root / "book").mkdir(parents=True)
+    (pred_root / "book" / "dewarped_pred").mkdir(parents=True)
+    gt = _doc_image(rng)
+    Image.fromarray(gt).save(gt_root / "book" / "01.png")
+    Image.fromarray(gt).save(
+        pred_root / "book" / "dewarped_pred" / "warped_1_1 copy.png")
+    # flat category mixed into the same root
+    (gt_root / "sparse_text").mkdir(parents=True)
+    (pred_root / "sparse_text").mkdir(parents=True)
+    gt2 = _doc_image(rng)
+    Image.fromarray(gt2).save(gt_root / "sparse_text" / "01.png")
+    Image.fromarray(gt2).save(
+        pred_root / "sparse_text" / "warped_1_1 copy.png")
+
+    main(["--dataset", str(pred_root), "--gt", str(gt_root),
+          "--skip_sampling", "--per_category", "--workers", "1",
+          "--area", "0"])
+    with open(pred_root / "adres_categories.json") as f:
+        js = json.load(f)
+    assert set(js["categories"]) == {"book", "sparse_text"}
+    assert js["overall"]["count"] == 2
+    # per-category adres.txt written through the symlinks into the
+    # real prediction dirs
+    assert (pred_root / "book" / "dewarped_pred" / "adres.txt").exists()
+    assert (pred_root / "sparse_text" / "adres.txt").exists()
+
+
 @pytest.mark.slow
 def test_protocol_end_to_end(tmp_path, monkeypatch):
     """dataset root -> sampling -> PNGs -> adres table, one call."""
