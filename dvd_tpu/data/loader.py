@@ -103,10 +103,17 @@ class PrefetchLoader:
             # drain so a producer parked in q.put can observe stop, then
             # join it BEFORE the executor shutdown — the producer must
             # never touch a shut-down pool
-            while th.is_alive():
-                try:
-                    q.get_nowait()
-                except queue.Empty:
-                    pass
-                th.join(timeout=0.05)
-            pool.shutdown(wait=False, cancel_futures=True)
+            try:
+                while th.is_alive():
+                    try:
+                        q.get_nowait()
+                    except queue.Empty:
+                        pass
+                    th.join(timeout=0.05)
+                pool.shutdown(wait=False, cancel_futures=True)
+            except (AttributeError, TypeError):
+                # generator finalized at interpreter teardown: module
+                # globals (queue, concurrent.futures internals) may
+                # already be None — the daemon threads die with the
+                # process anyway
+                pass
