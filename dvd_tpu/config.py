@@ -139,6 +139,11 @@ class TrainConfig:
     # the accelerator instead of in host loader workers — the dataset
     # must be built with device_aug=True (see data/device_aug.py)
     on_device_aug: bool = False
+    # TPU-native addition: uint8/latent-res host->device wire for train
+    # batches (training/wire.py) — 67 -> ~25 MB per batch-8 step.  On the
+    # tunnel-served host this also bounds a PJRT-client leak that retains
+    # every transferred host buffer.  Disable for bit-exact float wire.
+    slim_wire: bool = True
 
     @property
     def ema_rates(self) -> Tuple[float, ...]:

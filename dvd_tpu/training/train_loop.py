@@ -66,16 +66,26 @@ def build_device_batch(pipe: DewarpPipeline, aux_vars,
     m = pipe.cfg.model
     per = m.perception_size
     src = raw["source_image"]
+    if src.dtype == jnp.uint8:      # slim wire (training/wire.py)
+        src = src.astype(jnp.float32) / 255.0
     h = src.shape[1]
+    mask_cat = raw["doc_mask"]
+    if mask_cat.dtype == jnp.uint8:
+        mask_cat = mask_cat.astype(jnp.float32) / 255.0
 
     scale = jnp.asarray([h - 1.0, h - 1.0], jnp.float32)
-    flow = raw["flow_map"] / scale
     flow_inter = raw["flow_map_inter"] / scale
-    flow64 = resize_bilinear(flow, (latent, latent), align_corners=True)
+    if raw["flow_map"].shape[1] == latent:
+        # already resized host-side (wire.encode_batch) — bilinear
+        # resampling commutes with the scalar normalization
+        flow64 = raw["flow_map"] / scale
+    else:
+        flow = raw["flow_map"] / scale
+        flow64 = resize_bilinear(flow, (latent, latent), align_corners=True)
 
     batch = {
         "y512": src,
-        "mask_cat": raw["doc_mask"],
+        "mask_cat": mask_cat,
         "flow64": flow64,
         "flow_inter": flow_inter,
         "mask": jnp.ones((src.shape[0], h, h, 1), jnp.float32),

@@ -122,6 +122,14 @@ class KVLogger:
         return out
 
     def _write_csv(self, row: Dict[str, float]) -> None:
+        if not self._csv_keys and os.path.isfile(self._csv_path):
+            # resumed process appending to an earlier run's file (e.g. a
+            # --segment_steps child): adopt its header so the rewrite
+            # below never drops columns the old rows already have
+            with open(self._csv_path, newline="") as f:
+                header = next(csv.reader(f), None)
+            if header:
+                self._csv_keys = list(header)
         new_keys = [k for k in row if k not in self._csv_keys]
         if new_keys:
             self._csv_keys.extend(sorted(new_keys))

@@ -63,6 +63,79 @@ def data_iterator(cfg, seed: int):
                           process_count=jax.process_count())
 
 
+def _run_segments(ap, args):
+    """Chain child training processes of <= segment_steps each.
+
+    Each child saves a final checkpoint on exit (train_loop.train's
+    unconditional save) and the next child auto-resumes from it
+    (bit-continuity of resume is covered by tests/test_resume_continuity).
+    The loader gets a fresh seed per segment so epoch orders don't repeat
+    across segment restarts; the train-step RNG keys off the *global*
+    step (train_state.py fold_in), so the gradient-noise stream is
+    unaffected by segmentation."""
+    import glob
+    import os
+    import subprocess
+    import sys
+
+    if not args.max_steps:
+        ap.error("--segment_steps requires --max_steps")
+    if args.segment_steps < 1:
+        ap.error("--segment_steps must be >= 1")
+
+    from run_sampling import parse_overrides
+
+    from dvd_tpu.config import default_config
+
+    cfg = default_config()
+    cfg = dataclasses.replace(cfg.replace(**parse_overrides(args.overrides)),
+                              name=args.name)
+    ws = os.path.join(cfg.paths.workspace_dir, cfg.name)
+
+    def latest_step() -> int:
+        # orbax state dirs are named state_%08d with the post-step counter
+        steps = [int(os.path.basename(p)[6:])
+                 for p in glob.glob(os.path.join(ws, "state_*"))
+                 if os.path.basename(p)[6:].isdigit()]
+        return max(steps, default=0)
+
+    child_base = [sys.executable, os.path.abspath(__file__),
+                  "--train_module", args.train_module,
+                  "--train_name", args.train_name,
+                  "--name", args.name, "--seed", str(args.seed)]
+    for ov in args.overrides or ():
+        child_base += ["--set", ov]
+    if args.data_root:
+        child_base += ["--data_root", args.data_root]
+    if args.synthetic:
+        child_base += ["--synthetic", str(args.synthetic)]
+    if args.multihost:
+        child_base += ["--multihost"]
+
+    seg = 0
+    while True:
+        start = latest_step()
+        if start >= args.max_steps:
+            print(f"segments done: step {start} >= {args.max_steps}")
+            return
+        budget = min(start + args.segment_steps, args.max_steps)
+        child = child_base + [
+            "--max_steps", str(budget),
+            "--loader_seed", str((args.loader_seed if args.loader_seed
+                                  is not None else args.seed) + 9973 * seg)]
+        print(f"— segment {seg}: steps {start} -> {budget} —", flush=True)
+        rc = subprocess.call(child)
+        end = latest_step()
+        if end <= start:
+            raise SystemExit(
+                f"segment {seg} made no checkpoint progress (rc={rc}, "
+                f"still at step {end}); aborting instead of looping")
+        if rc != 0:
+            print(f"segment {seg} exited rc={rc} but advanced "
+                  f"{start} -> {end}; continuing", flush=True)
+        seg += 1
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--train_module", default="dvd")
@@ -78,7 +151,23 @@ def main(argv=None):
                          "on it through the standard loader path")
     ap.add_argument("--multihost", action="store_true",
                     help="call jax.distributed.initialize() first")
+    ap.add_argument("--loader_seed", type=int, default=None,
+                    help="epoch-order/augmentation seed for the data "
+                         "loader only (default: --seed); lets resumed "
+                         "segments draw fresh epoch orders without "
+                         "touching the train-step RNG stream")
+    ap.add_argument("--segment_steps", type=int, default=0, metavar="K",
+                    help="run training as a chain of child processes of "
+                         "at most K steps each, auto-resuming from the "
+                         "latest checkpoint between segments (requires "
+                         "--max_steps).  Bounds host RSS on serving hosts "
+                         "whose PJRT tunnel client retains every "
+                         "host->device transfer buffer for the process "
+                         "lifetime (see dvd_tpu/training/wire.py)")
     args = ap.parse_args(argv)
+
+    if args.segment_steps:
+        return _run_segments(ap, args)
 
     if args.multihost:
         import jax
@@ -115,11 +204,22 @@ def main(argv=None):
         else:
             write_synthetic_doc_npz(root, args.synthetic, seed=args.seed)
         cfg = cfg.replace(data={"data_root": root})
-    loader = data_iterator(cfg, args.seed)
-    mapped = ({"source_image": b["source_image"],
-               "doc_mask": b["doc_mask"],
-               "flow_map": b["flow_map"],
-               "flow_map_inter": b["flow_map_inter"]} for b in loader)
+    loader = data_iterator(cfg, args.loader_seed
+                           if args.loader_seed is not None else args.seed)
+    if cfg.train.on_device_aug:
+        # the loader already emits the device-aug key set
+        # (image512/doc_mask512/flow_map); augmentation runs on device
+        mapped = iter(loader)
+    elif cfg.train.slim_wire:
+        from dvd_tpu.training.wire import encode_batch
+
+        latent = cfg.model.image_size
+        mapped = (encode_batch(b, latent) for b in loader)
+    else:
+        mapped = ({"source_image": b["source_image"],
+                   "doc_mask": b["doc_mask"],
+                   "flow_map": b["flow_map"],
+                   "flow_map_inter": b["flow_map_inter"]} for b in loader)
     train(cfg, mapped, max_steps=args.max_steps)
 
 
