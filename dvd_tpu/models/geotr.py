@@ -312,7 +312,19 @@ class GeoTrSegWoMask(nn.Module):
 class GeoTr2(nn.Module):
     """DocTr-as-denoiser (train_mode='stage_1_doctr',
     geotr_core.py:612-685): consumes [src_feat(64) ++ x(2) ++ init_flow(2)]
-    at the latent size, returns a flow offset at the latent size."""
+    at the latent size, returns a flow offset at the latent size.
+
+    Upstream, ``GeoTr2.forward`` is broken as shipped: ``__init__`` never
+    sets ``self.train_mode`` (geotr_core.py:613-632 — the attribute read at
+    :659 raises ``AttributeError``), and ``self.TransDecoder`` is wrapped in
+    ``TimestepEmbedSequential`` (geotr_core.py:622), which forwards its
+    second positional only to ``TimestepBlock`` children — so the
+    ``query_embed.weight`` passed at :675 is silently dropped and the inner
+    ``TransDecoder.forward(fmap, query_embed)`` is called one argument
+    short.  We implement the evident intent (decoder receives the learned
+    query embedding; mode taken from construction), so no torch-side
+    output-parity test is possible for this family — structure parity and
+    train/serve behavior are covered by tests/test_alt_denoisers.py."""
 
     num_attn_layers: int = 6
     hidden_dim: int = 256

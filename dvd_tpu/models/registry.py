@@ -68,6 +68,21 @@ def attention_ds(image_size: int, attention_resolutions: str) -> Tuple[int, ...]
                  for r in attention_resolutions.split(","))
 
 
+def unet_channel_mult(image_size: int) -> Tuple[int, ...]:
+    """Reference UNet width ladder by latent size (script_util.py:109-117)."""
+    if image_size == 256:
+        return (1, 1, 2, 2, 4, 4)
+    if image_size == 64:
+        return (1, 2, 3, 4)
+    if image_size == 32:
+        return (1, 2, 2, 2)
+    if image_size < 32:
+        # Beyond the reference ladder (it raises here); down-scaled test
+        # configs reuse the 32px ladder, which still leaves a >=2px bottom.
+        return (1, 2, 2, 2)
+    raise ValueError(f"unsupported image size for UNet modes: {image_size}")
+
+
 def create_model(cfg: DvDConfig):
     m = cfg.model
     mode = m.train_mode
@@ -86,7 +101,8 @@ def create_model(cfg: DvDConfig):
         return UNetDenoiser(
             in_channels=68, model_channels=m.num_channels,
             out_channels=m.in_channels, num_res_blocks=m.num_res_blocks,
-            attention_ds=ds, num_heads=m.num_heads,
+            attention_ds=ds, channel_mult=unet_channel_mult(m.image_size),
+            num_heads=m.num_heads,
             num_heads_upsample=m.num_heads_upsample,
             use_scale_shift_norm=m.use_scale_shift_norm,
             train_mode="stage_1", dtype=dtype,
@@ -95,7 +111,8 @@ def create_model(cfg: DvDConfig):
         return UNetDenoiser(
             in_channels=85, model_channels=m.num_channels,
             out_channels=m.in_channels, num_res_blocks=m.num_res_blocks,
-            attention_ds=ds, num_heads=m.num_heads,
+            attention_ds=ds, channel_mult=unet_channel_mult(m.image_size),
+            num_heads=m.num_heads,
             use_scale_shift_norm=m.use_scale_shift_norm,
             train_mode="sr", dtype=dtype,
         )
@@ -103,12 +120,17 @@ def create_model(cfg: DvDConfig):
         return UNetDenoiser(
             in_channels=149, model_channels=m.num_channels,
             out_channels=m.in_channels, num_res_blocks=m.num_res_blocks,
-            attention_ds=ds, num_heads=m.num_heads,
+            attention_ds=ds, channel_mult=unet_channel_mult(m.image_size),
+            num_heads=m.num_heads,
             use_scale_shift_norm=m.use_scale_shift_norm,
             train_mode="trg_feat", dtype=dtype,
         )
     if mode == "stage_1_transformer":
-        return TransformerDenoiser(dtype=dtype)
+        # ff_dim=1024, 6 layers fixed by the factory (script_util.py:139-148)
+        return TransformerDenoiser(model_channels=m.num_channels,
+                                   out_channels=m.in_channels,
+                                   num_heads=m.num_heads, num_layers=6,
+                                   ff_dim=1024, dtype=dtype)
     if mode == "stage_1_doctr":
         return GeoTr2(latent=m.image_size, dtype=dtype)
     raise ValueError(f"unknown train_mode {mode!r}")
