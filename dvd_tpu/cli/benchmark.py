@@ -26,6 +26,7 @@ import argparse
 import json
 import os
 import re
+import warnings
 from typing import List, Optional, Tuple
 
 
@@ -67,10 +68,14 @@ def pair_key(name: str) -> Optional[Tuple[int, int]]:
     if len(ints) == 1:
         return int(ints[0]), 0
     # Heuristic territory: no anchored runner pattern matched.  Say so —
-    # a silent mis-pair corrupts the whole table (ADVICE r3).
-    print(f"pair_key fallback for '{name}': taking last two integers "
-          f"({ints[-2]}, {ints[-1]}); rename to a runner convention "
-          f"(warped_{{k}}_{{m}}.png) if this pairing is wrong")
+    # a silent mis-pair corrupts the whole table (ADVICE r3).  warnings
+    # rather than print: pooled workers capture stdout, and warnings
+    # dedupe per-callsite instead of spamming one line per file.
+    warnings.warn(
+        f"pair_key fallback for '{name}': taking last two integers "
+        f"({ints[-2]}, {ints[-1]}); rename to a runner convention "
+        f"(warped_{{k}}_{{m}}.png) if this pairing is wrong",
+        stacklevel=2)
     return int(ints[-2]), int(ints[-1])
 
 
@@ -284,28 +289,31 @@ def evaluate_categories_nested(pred_root: str, gt_root: str, **kw) -> dict:
     ``{pred_root}/{cat}/dewarped_pred`` (the sampling driver's layout)."""
     import tempfile
 
-    cats = _category_dirs(pred_root)
-    link_root = tempfile.mkdtemp(prefix="dvd_cat_")
-    any_nested = False
-    for cat in cats:
-        inner = os.path.join(pred_root, cat, "dewarped_pred")
-        if os.path.isdir(inner):
-            os.symlink(os.path.abspath(inner), os.path.join(link_root, cat))
-            any_nested = True
-        else:
-            # flat category (PNGs directly under {pred_root}/{cat}) — keep
-            # it in the run even when other categories are nested
-            os.symlink(os.path.abspath(os.path.join(pred_root, cat)),
-                       os.path.join(link_root, cat))
-    if not any_nested:  # flat layout: {pred_root}/{cat}/ holds PNGs directly
-        return evaluate_categories(pred_root, gt_root, **kw)
-    report = evaluate_categories(link_root, gt_root, **kw)
     import shutil
 
-    shutil.move(os.path.join(link_root, "adres_categories.json"),
-                os.path.join(pred_root, "adres_categories.json"))
-    shutil.rmtree(link_root, ignore_errors=True)
-    return report
+    cats = _category_dirs(pred_root)
+    link_root = tempfile.mkdtemp(prefix="dvd_cat_")
+    try:
+        any_nested = False
+        for cat in cats:
+            inner = os.path.join(pred_root, cat, "dewarped_pred")
+            if os.path.isdir(inner):
+                os.symlink(os.path.abspath(inner),
+                           os.path.join(link_root, cat))
+                any_nested = True
+            else:
+                # flat category (PNGs directly under {pred_root}/{cat}) —
+                # keep it in the run even when other categories are nested
+                os.symlink(os.path.abspath(os.path.join(pred_root, cat)),
+                           os.path.join(link_root, cat))
+        if not any_nested:  # flat layout: {pred_root}/{cat}/ holds the PNGs
+            return evaluate_categories(pred_root, gt_root, **kw)
+        report = evaluate_categories(link_root, gt_root, **kw)
+        shutil.move(os.path.join(link_root, "adres_categories.json"),
+                    os.path.join(pred_root, "adres_categories.json"))
+        return report
+    finally:
+        shutil.rmtree(link_root, ignore_errors=True)
 
 
 def main(argv=None):

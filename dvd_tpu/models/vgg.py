@@ -55,6 +55,13 @@ class VGG16Pyramid(nn.Module):
             return [l0, l2, l3]
         if mode == "quarter":
             return [l2]
+        if mode == "sixteen":
+            # Intentionally omitted: the reference's sixteen_resolution
+            # branch (eval_utils.py:116-166 / VGG_features.py:39-40) indexes
+            # a level_4 its constructor never builds — dead on arrival.
+            raise NotImplementedError(
+                "sixteen_resolution is unreachable dead code in the "
+                "reference (VGG_features.py:39-40); not implemented")
         return [l0, l1, l2, l3]
 
 

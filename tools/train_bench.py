@@ -117,6 +117,15 @@ def main():
                          "on-device (data/device_aug.py) instead of in "
                          "loader workers — measures the loader-bound "
                          "wall-clock win")
+    ap.add_argument("--sweep", type=int, nargs="*", default=None,
+                    metavar="B",
+                    help="device-side batch-scaling sweep: after the main "
+                         "phase, rerun the device-resident chained steps "
+                         "at each batch size B (VERDICT r4 item 6)")
+    ap.add_argument("--sweep_microbatch", type=int, nargs="*", default=None,
+                    metavar="MB",
+                    help="extra sweep rows: largest --sweep batch with "
+                         "grad accumulation at microbatch MB")
     args = ap.parse_args()
 
     import jax
@@ -249,6 +258,88 @@ def main():
             state, metrics = step_fn(state, batch, rng)
         float(metrics["loss"])   # chain sync
         dev_dt = time.perf_counter() - t0
+
+        # --- device-side batch-scaling sweep (VERDICT r4 item 6) -------
+        # Same chained prep+step protocol as above, at each requested
+        # batch (raw batches built by tiling the resident pool, staged in
+        # HBM before the timed window).  Optionally repeats the largest
+        # batch with gradient accumulation (train.microbatch) — the
+        # memory-equivalent alternative to just raising the batch.
+        import jax.numpy as jnp
+
+        def timed_chain(step, prep, raw_b, n=30):
+            b0 = prep(aux, raw_b)       # warm both compiles
+            st, m = step(state_sw[0], b0, rng)
+            state_sw[0] = st
+            float(m["loss"])
+            t0 = time.perf_counter()
+            for i in range(n):
+                bb = prep(aux, raw_b)
+                st, m = step(state_sw[0], bb, rng)
+                state_sw[0] = st
+            float(m["loss"])
+            return (time.perf_counter() - t0) / n
+
+        sweep_rows = []
+        if args.sweep:
+            state_sw = [state]
+            # host snapshot: a failed (OOM) row leaves the donated state
+            # buffers invalidated — restore so later rows still run
+            state_host = jax.device_get(state)
+
+            def _restore():
+                state_sw[0] = jax.tree.map(
+                    lambda x: jax.device_put(jnp.asarray(x)), state_host)
+            for b in args.sweep:
+                factor = (b + args.batch - 1) // args.batch
+                raw_b = {k: jnp.concatenate(
+                    [resident[i % len(resident)][k] for i in range(factor)]
+                )[:b] for k in resident[0]}
+                raw_b = {k: jax.device_put(v, batch_sh)
+                         for k, v in raw_b.items()}
+                jax.block_until_ready(raw_b)
+                try:
+                    dt = timed_chain(step_fn, prep_jit, raw_b)
+                except Exception as e:  # noqa: BLE001 — isolate OOM rows
+                    sweep_rows.append({"batch": b, "microbatch": -1,
+                                       "error": repr(e)[:200]})
+                    print(f"sweep batch {b} failed: {e!r}", flush=True)
+                    _restore()
+                    continue
+                row = {"batch": b, "microbatch": -1,
+                       "ms_per_step": round(dt * 1e3, 1),
+                       "device_steps_per_sec": round(1.0 / dt, 3),
+                       "device_samples_per_sec": round(b / dt, 2)}
+                sweep_rows.append(row)
+                print("sweep:", row, flush=True)
+            for mb in (args.sweep_microbatch or []):
+                b = max(args.sweep)
+                cfg_mb = cfg.replace(train={"microbatch": mb})
+                step_mb = jax.jit(
+                    make_train_step(cfg_mb, sched, pipe.dit.apply, tx),
+                    donate_argnums=(0,))
+                factor = (b + args.batch - 1) // args.batch
+                raw_b = {k: jnp.concatenate(
+                    [resident[i % len(resident)][k] for i in range(factor)]
+                )[:b] for k in resident[0]}
+                raw_b = {k: jax.device_put(v, batch_sh)
+                         for k, v in raw_b.items()}
+                jax.block_until_ready(raw_b)
+                try:
+                    dt = timed_chain(step_mb, prep_jit, raw_b)
+                except Exception as e:  # noqa: BLE001
+                    sweep_rows.append({"batch": b, "microbatch": mb,
+                                       "error": repr(e)[:200]})
+                    print(f"sweep mb {mb} failed: {e!r}", flush=True)
+                    _restore()
+                    continue
+                row = {"batch": b, "microbatch": mb,
+                       "ms_per_step": round(dt * 1e3, 1),
+                       "device_steps_per_sec": round(1.0 / dt, 3),
+                       "device_samples_per_sec": round(b / dt, 2)}
+                sweep_rows.append(row)
+                print("sweep:", row, flush=True)
+            state = state_sw[0]
     steady = times[max(1, len(times) // 5):]
     result = {
         "device": str(jax.devices()[0]),
@@ -272,6 +363,7 @@ def main():
         "loss_last10_mean": float(np.mean(losses[-10:])),
         "loss_curve_every10": losses[::10],
         "rollout_ab": ab,
+        "sweep_rows": sweep_rows,
     }
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
     with open(args.out, "w") as f:
