@@ -104,6 +104,15 @@ class ModelConfig:
     # runs int8 at 2x bf16.  Serving-only and default-off — training and
     # all parity tests run with "none".  See ops/quant.py, docs/ROOFLINE.md.
     quantize: str = "none"                    # "none" | "int8"
+    # TPU-native extra (no reference equivalent): serve the conditioning
+    # aux nets in sub-batches of this size via lax.map.  The fused aux
+    # stack is HBM-bandwidth-bound and XLA's conv codegen streams it at
+    # ~100% of peak at batch 4 but only ~70-80% at batch 8-16
+    # (docs/COND_PROFILE.json), so chunking restores the sweet spot at
+    # larger serving batches.  0 disables (monolithic); ignored when the
+    # batch is not a multiple.  Same per-sample math (conv tiling may
+    # reorder reductions; parity ~1e-6 — test_pipeline_e2e.py).
+    serve_cond_chunk: int = 0
 
     @property
     def flow_size(self) -> Tuple[int, int]:

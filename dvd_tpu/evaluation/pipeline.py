@@ -211,7 +211,26 @@ class DewarpPipeline:
 
         ``aux_vars = (seg_vars, line_vars, geotr_vars, vgg_vars)`` passed
         as traced arguments (see make_dit_fn note); ``vgg_vars`` is None
-        unless ``train_VGG=False``."""
+        unless ``train_VGG=False``.
+
+        ``model.serve_cond_chunk`` > 0 runs the aux stack in sub-batches
+        of that size via ``lax.map``: the stack is HBM-bound and XLA's
+        conv code streams near peak bandwidth at batch 4 but degrades at
+        8-16 (docs/COND_PROFILE.json), so chunking keeps large serving
+        batches in the sweet spot.  Same per-sample math (conv reduction
+        order may differ across batch shapes; ~1e-6)."""
+        chunk = self.cfg.model.serve_cond_chunk
+        b = source512.shape[0]
+        if chunk and b > chunk and b % chunk == 0:
+            xs = source512.reshape((b // chunk, chunk)
+                                   + tuple(source512.shape[1:]))
+            out = jax.lax.map(
+                lambda s: self._conditioning_chunk(aux_vars, s), xs)
+            return jax.tree.map(
+                lambda t: t.reshape((b,) + tuple(t.shape[2:])), out)
+        return self._conditioning_chunk(aux_vars, source512)
+
+    def _conditioning_chunk(self, aux_vars, source512: jnp.ndarray):
         seg_vars, line_vars, geotr_vars, vgg_vars = aux_vars
         s = self.cfg.model.image_size
         per = self.cfg.model.perception_size

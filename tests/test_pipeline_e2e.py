@@ -72,6 +72,37 @@ def test_hoisted_pyramid_matches_inline(tiny_pipeline):
                                rtol=1e-5, atol=1e-6)
 
 
+def test_chunked_conditioning_matches_monolithic(tiny_pipeline):
+    """serve_cond_chunk runs the aux stack in lax.map sub-batches (the
+    HBM-bound stack streams best at small batch — docs/COND_PROFILE.json);
+    outputs must match the monolithic trace exactly (same per-sample ops).
+    """
+    import dataclasses
+
+    pipe = tiny_pipeline
+    src = jax.random.uniform(jax.random.PRNGKey(7), (4, 128, 128, 3))
+    aux = (pipe.seg_vars, pipe.line_vars, pipe.geotr_vars, pipe.vgg_vars)
+    mono = pipe.conditioning_impl(aux, src)
+
+    chunked_pipe = dataclasses.replace(
+        pipe, cfg=pipe.cfg.replace(model={"serve_cond_chunk": 2}))
+    chunked = chunked_pipe.conditioning_impl(aux, src)
+
+    # not bitwise: XLA's conv tiling (and thus reduction order) legally
+    # differs between the chunk and full batch shapes
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-5, atol=1e-5),
+        mono, chunked)
+    # non-divisible batches fall back to the monolithic path
+    src5 = jax.random.uniform(jax.random.PRNGKey(8), (5, 128, 128, 3))
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a),
+                                                np.asarray(b)),
+        pipe.conditioning_impl(aux, src5),
+        chunked_pipe.conditioning_impl(aux, src5))
+
+
 def test_unwarp_native_matches_fixed():
     """The shape-static padded unwarp must agree with the static-shape
     reference implementation on the valid region."""

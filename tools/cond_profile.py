@@ -44,6 +44,9 @@ def main():
     ap.add_argument("--batches", type=int, nargs="+", default=[4, 8, 16, 32])
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--out", default="docs/COND_PROFILE.json")
+    ap.add_argument("--nets", nargs="*", default=None,
+                    help="only profile nets whose name contains any of "
+                         "these substrings")
     args = ap.parse_args()
 
     import jax
@@ -97,6 +100,8 @@ def main():
     rows = []
 
     def run(name, fn, *concrete, batch):
+        if args.nets and not any(sub in name for sub in args.nets):
+            return None
         jf = jax.jit(fn)
         try:
             compiled = jf.lower(*concrete).compile()
@@ -166,7 +171,8 @@ def main():
         def f_dit_step(dv, x, tt, cnd, fl, ft):
             fn = pipe.make_dit_fn(dv)
             return fn(x, tt, cnd, init_flow=fl, init_feat=ft,
-                      seed_init_feat=True, remap_timesteps=True)
+                      seed_init_feat=jnp.ones((x.shape[0],), bool),
+                      remap_timesteps=True)
 
         cond_eb, x, fl0, ft0 = jax.block_until_ready((cond_eb, x, fl0, ft0))
         run(f"dit_step_eb{eb}", f_dit_step, pipe.dit_vars, x, t_step,

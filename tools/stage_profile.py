@@ -21,6 +21,8 @@ def main():
     ap.add_argument("--batches", type=int, nargs="+", default=[4, 8, 16, 32])
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--out", default="docs/STAGE_PROFILE.json")
+    ap.add_argument("--cond_chunk", type=int, default=0,
+                    help="model.serve_cond_chunk override (0 = monolithic)")
     args = ap.parse_args()
 
     import jax
@@ -31,6 +33,8 @@ def main():
 
     enable_compilation_cache()
     cfg = default_config()
+    if args.cond_chunk:
+        cfg = cfg.replace(model={"serve_cond_chunk": args.cond_chunk})
     pipe = DewarpPipeline.create(cfg, rng=jax.random.PRNGKey(0))
     cond_fn, sample_fn = pipe.jitted_stages()
     unwarp = jax.jit(unwarp_fixed)
