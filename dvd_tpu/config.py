@@ -113,6 +113,15 @@ class ModelConfig:
     # batch is not a multiple.  Same per-sample math (conv tiling may
     # reorder reductions; parity ~1e-6 — test_pipeline_e2e.py).
     serve_cond_chunk: int = 0
+    # TPU-native extra (no reference equivalent): serve the frozen aux
+    # conditioning nets (U2NetP x2, line-UNet, DiT pyramid) through the
+    # planar-layout Pallas conv stack (ops/pallas/planar_conv.py), which
+    # removes the NHWC small-channel lane-padding HBM tax.  "auto" = on
+    # when running on TPU; "on" forces it everywhere (XLA fallback path
+    # off-TPU — used by the CPU parity tests); "off" = the NHWC flax
+    # modules.  Same math, f32 accumulation (parity: test_planar_aux.py,
+    # test_pipeline_e2e.py).
+    planar_aux: str = "auto"                  # "auto" | "on" | "off"
 
     @property
     def flow_size(self) -> Tuple[int, int]:
@@ -146,8 +155,14 @@ class TrainConfig:
     # TPU-native addition (no reference analogue): run the 512^2
     # intermediate warp + color jitter inside the jitted batch-prep on
     # the accelerator instead of in host loader workers — the dataset
-    # must be built with device_aug=True (see data/device_aug.py)
-    on_device_aug: bool = False
+    # must be built with device_aug=True (see data/device_aug.py).
+    # Default ON since round 5: measured wall-clock 0.333 vs 0.193
+    # steps/s at batch 8 on the 1-core bench host (1.72x,
+    # docs/TRAIN_BENCH_r4_aug.json vs TRAIN_BENCH_r3.json) — the
+    # reference's cv2/kornia worker augmentation (listdataset.py:573-703)
+    # is the loader-side analogue being moved on-device.  doc_debug
+    # datasets (no augmentation) must set this False.
+    on_device_aug: bool = True
     # TPU-native addition: uint8/latent-res host->device wire for train
     # batches (training/wire.py) — 67 -> ~25 MB per batch-8 step.  On the
     # tunnel-served host this also bounds a PJRT-client leak that retains

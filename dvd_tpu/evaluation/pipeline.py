@@ -230,12 +230,28 @@ class DewarpPipeline:
                 lambda t: t.reshape((b,) + tuple(t.shape[2:])), out)
         return self._conditioning_chunk(aux_vars, source512)
 
+    def _planar_enabled(self) -> bool:
+        """Planar-layout aux-net serving (see ``models/planar_aux.py``):
+        "auto" turns it on exactly where it pays — the TPU backend, where
+        NHWC small-channel conv tensors are lane-padded up to 8x."""
+        mode = getattr(self.cfg.model, "planar_aux", "off")
+        if mode == "on":
+            return True
+        if mode != "auto":
+            return False
+        from dvd_tpu.ops.pallas import planar_conv
+
+        return planar_conv.supports()
+
     def _conditioning_chunk(self, aux_vars, source512: jnp.ndarray):
         seg_vars, line_vars, geotr_vars, vgg_vars = aux_vars
         s = self.cfg.model.image_size
         per = self.cfg.model.perception_size
         b = source512.shape[0]
         src288 = resize_bilinear(source512, (per, per), align_corners=True)
+        if self.is_dit and self._planar_enabled():
+            return self._conditioning_chunk_planar(
+                aux_vars, source512, src288)
 
         if not self.is_dit:
             # alternative denoisers consume only the 64-ch VGG feature
@@ -287,6 +303,55 @@ class DewarpPipeline:
         init_feat = jnp.zeros((b, s, s, 256), jnp.float32)
         return cond, init_flow, init_feat
 
+    def _conditioning_chunk_planar(self, aux_vars, source512, src288):
+        """Planar-layout conditioning (production DiT config): the same
+        stages as :meth:`_conditioning_chunk`'s DiT branch, with the
+        U2NetP x2 + line-UNet forwards running through the planar Pallas
+        conv stack (``models/planar_aux.py``; parity tested there and in
+        test_pipeline_e2e.py).  Falls back per-component: when
+        ``use_init_flow`` needs GeoTr's transformer output (dead in the
+        shipped config, reference ``local.py:87``), GeoTr runs NHWC."""
+        from dvd_tpu.models import planar_aux as pa
+
+        seg_vars, line_vars, geotr_vars, vgg_vars = aux_vars
+        m = self.cfg.model
+        s = m.image_size
+        per = m.perception_size
+        b = source512.shape[0]
+        hw = (per, per)
+        # the flax modules cast to the compute dtype inside each conv;
+        # planar casts once at entry (same bf16 stream between layers)
+        x_pl = pa.to_planar(src288).astype(self.seg.dtype)
+
+        if m.use_init_flow:
+            ref_bm, mask512 = self.geotr.apply(geotr_vars, src288)
+            ref_flow = ref_bm.astype(jnp.float32) / (per - 1.0)
+            init_flow = resize_bilinear(ref_flow, (s, s),
+                                        align_corners=True)
+        else:
+            mask512 = pa.geotr_mask_planar(
+                geotr_vars, x_pl, hw, m.source_size)
+            init_flow = jnp.zeros((b, s, s, 2), jnp.float32)
+        cond = {"y512": source512, "mask_cat": mask512}
+
+        if not m.use_gt_mask:
+            mskx_pl, _, pyr = pa.seg_planar(
+                seg_vars, x_pl, hw, m.source_size)
+            cond["mask_y512"] = pa.seg_pyramid_to_latent_planar(pyr, s)
+            if m.use_line_mask:
+                line_pl, _ = pa.textline_planar(line_vars, mskx_pl, hw)
+                cond["line_msk"] = pa.from_planar(
+                    pa.resize_planar(line_pl, hw, (s, s),
+                                     align_corners=False), (s, s))
+
+        if not m.train_VGG:
+            from dvd_tpu.models.vgg import c20_for_dit
+
+            feats = self.vgg.apply(vgg_vars, source512, mode="eigth")
+            cond["src_feat"] = c20_for_dit(feats, s)
+        init_feat = jnp.zeros((b, s, s, 256), jnp.float32)
+        return cond, init_flow, init_feat
+
     def sampling_impl(self, dit_vars, cond, init_flow, init_feat, rng,
                       init_noise=None):
         """Diffusion stage (conditioning precomputed).  ``init_noise``
@@ -322,12 +387,26 @@ class DewarpPipeline:
         calls saved."""
         if cond.get("src_feat") is not None:   # external VGG already given
             return cond
+        out = dict(cond)
+        s = self.cfg.model.image_size
+        if self._planar_enabled() and s == 64:
+            # planar pyramid (4-ch 512^2 input: 32x lane-padded in NHWC);
+            # same math, f32 accumulation — ~1ulp vs the in-model path
+            # rather than bit-identical (test_pipeline_e2e.py bounds it)
+            from dvd_tpu.models import planar_aux as pa
+
+            y = cond["y512"] if cond.get("mask_cat") is None else \
+                jnp.concatenate([cond["y512"], cond["mask_cat"]], -1)
+            src = self.cfg.model.source_size
+            out["src_feat"] = pa.pyramid_planar(
+                dit_vars["params"]["pyramid"], pa.to_planar(y),
+                (src, src), s, self.dit.dtype)
+            return out
         from dvd_tpu.models.dit import conditioning_pyramid_features
 
-        out = dict(cond)
         out["src_feat"] = conditioning_pyramid_features(
             dit_vars["params"]["pyramid"], cond["y512"],
-            cond.get("mask_cat"), self.cfg.model.image_size, self.dit.dtype)
+            cond.get("mask_cat"), s, self.dit.dtype)
         return out
 
     def _hoist_stream_tokens(self, dit_vars, cond):

@@ -204,25 +204,39 @@ def train(cfg: DvDConfig, data_iter: Iterator[Dict[str, np.ndarray]],
             jax.tree.map(jax.device_put, e, psh) for e in state.ema_params)
         batch_sh = NamedSharding(mesh, P("data"))
 
-        if cfg.train.on_device_aug:
-            # raw batch = decoded/composited image + bm (dataset built
-            # with device_aug=True); warp + jitter run on-device first
-            from dvd_tpu.data.device_aug import augment_batch
+        # device-aug batches carry image512/doc_mask512/flow_map; the
+        # float wire carries pre-augmented source_image/... keys.  The
+        # dispatch keys off the BATCH (the loader builds the key set from
+        # the same flag via run_training.data_iterator) so callers that
+        # feed pre-augmented batches directly (tests, custom loaders)
+        # keep working when on_device_aug defaults on.
+        from dvd_tpu.data.device_aug import augment_batch
 
-            frac = cfg.data.inter_t / cfg.data.inter_T
+        frac = cfg.data.inter_t / cfg.data.inter_T
 
-            def _prep(aux, raw, key):
-                raw = augment_batch(raw, key, inter_frac=frac)
-                return build_device_batch(pipe, aux, raw, latent)
+        def _prep_aug(aux, raw, key):
+            raw = augment_batch(raw, key, inter_frac=frac)
+            return build_device_batch(pipe, aux, raw, latent)
 
-            prep_jit = jax.jit(_prep)
-            aug_rng = jax.random.PRNGKey(cfg.train.seed ^ 0x5EED)
-            prep = lambda raw, s: prep_jit(
-                train_aux_vars(pipe), raw, jax.random.fold_in(aug_rng, s))
-        else:
-            prep_jit = jax.jit(
-                lambda aux, raw: build_device_batch(pipe, aux, raw, latent))
-            prep = lambda raw, s: prep_jit(train_aux_vars(pipe), raw)
+        _aug_jit = jax.jit(_prep_aug)
+        _plain_jit = jax.jit(
+            lambda aux, raw: build_device_batch(pipe, aux, raw, latent))
+        aug_rng = jax.random.PRNGKey(cfg.train.seed ^ 0x5EED)
+        _warned = []
+
+        def prep(raw, s):
+            if "image512" in raw:
+                return _aug_jit(train_aux_vars(pipe), raw,
+                                jax.random.fold_in(aug_rng, s))
+            if cfg.train.on_device_aug and not _warned:
+                import warnings
+
+                warnings.warn(
+                    "train.on_device_aug=True but the batch carries the "
+                    "pre-augmented float-wire keys; augmenting on the "
+                    "host side as given", stacklevel=2)
+                _warned.append(True)
+            return _plain_jit(train_aux_vars(pipe), raw)
         step_fn = jax.jit(train_step, donate_argnums=(0,))
 
         rng = jax.random.PRNGKey(cfg.train.seed)

@@ -103,6 +103,27 @@ def test_chunked_conditioning_matches_monolithic(tiny_pipeline):
         chunked_pipe.conditioning_impl(aux, src5))
 
 
+def test_planar_conditioning_matches_nhwc(tiny_pipeline):
+    """model.planar_aux="on" routes the aux stack through the planar conv
+    path (Pallas on TPU, XLA planar fallback here): same math as the NHWC
+    flax modules up to f32 accumulation order (models/planar_aux.py)."""
+    import dataclasses
+
+    pipe = tiny_pipeline
+    src = jax.random.uniform(jax.random.PRNGKey(9), (2, 128, 128, 3))
+    aux = (pipe.seg_vars, pipe.line_vars, pipe.geotr_vars, pipe.vgg_vars)
+    nhwc = pipe.conditioning_impl(aux, src)
+
+    planar_pipe = dataclasses.replace(
+        pipe, cfg=pipe.cfg.replace(model={"planar_aux": "on"}))
+    planar = planar_pipe.conditioning_impl(aux, src)
+
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-5),
+        nhwc, planar)
+
+
 def test_unwarp_native_matches_fixed():
     """The shape-static padded unwarp must agree with the static-shape
     reference implementation on the valid region."""

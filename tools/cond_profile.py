@@ -47,6 +47,10 @@ def main():
     ap.add_argument("--nets", nargs="*", default=None,
                     help="only profile nets whose name contains any of "
                          "these substrings")
+    ap.add_argument("--planar", default="auto",
+                    choices=("auto", "on", "off"),
+                    help="model.planar_aux override (A/B the planar "
+                         "Pallas conv stack vs the NHWC flax path)")
     args = ap.parse_args()
 
     import jax
@@ -59,7 +63,7 @@ def main():
     from dvd_tpu.utils.runtime import enable_compilation_cache
 
     enable_compilation_cache()
-    cfg = default_config()
+    cfg = default_config().replace(model={"planar_aux": args.planar})
     pipe = DewarpPipeline.create(cfg, rng=jax.random.PRNGKey(0))
     fuse = make_fuse()
     per = cfg.model.perception_size

@@ -73,6 +73,13 @@ def main():
                          "from this seed in both phases)")
     ap.add_argument("--out", default="docs/E2E_DEMO.json")
     ap.add_argument("--save_pngs", default=None)
+    ap.add_argument("--quantize", default="none", choices=("none", "int8"),
+                    help="serve the checkpoint through the int8 path — "
+                         "the trained-weights end-metric A/B that decides "
+                         "the int8 default (VERDICT r4 item 3)")
+    ap.add_argument("--planar", default="auto",
+                    choices=("auto", "on", "off"),
+                    help="model.planar_aux override for the serving stages")
     args = ap.parse_args()
 
     import cv2
@@ -90,7 +97,9 @@ def main():
     from dvd_tpu.utils import runtime
 
     runtime.enable_compilation_cache()
-    cfg = default_config().replace(paths={"model_path": args.ckpt})
+    cfg = default_config().replace(
+        paths={"model_path": args.ckpt},
+        model={"quantize": args.quantize, "planar_aux": args.planar})
     pipe = DewarpPipeline.create(cfg, rng=jax.random.PRNGKey(args.seed))
     loaded = maybe_load_pipeline_weights(pipe, cfg)
     if not loaded.get("dit_vars"):

@@ -23,6 +23,9 @@ def main():
     ap.add_argument("--out", default="docs/STAGE_PROFILE.json")
     ap.add_argument("--cond_chunk", type=int, default=0,
                     help="model.serve_cond_chunk override (0 = monolithic)")
+    ap.add_argument("--planar", default="auto",
+                    choices=("auto", "on", "off"),
+                    help="model.planar_aux override")
     args = ap.parse_args()
 
     import jax
@@ -32,7 +35,7 @@ def main():
     from dvd_tpu.utils.runtime import enable_compilation_cache
 
     enable_compilation_cache()
-    cfg = default_config()
+    cfg = default_config().replace(model={"planar_aux": args.planar})
     if args.cond_chunk:
         cfg = cfg.replace(model={"serve_cond_chunk": args.cond_chunk})
     pipe = DewarpPipeline.create(cfg, rng=jax.random.PRNGKey(0))
