@@ -163,6 +163,13 @@ class TrainConfig:
     # is the loader-side analogue being moved on-device.  doc_debug
     # datasets (no augmentation) must set this False.
     on_device_aug: bool = True
+    # With on_device_aug the raw sample arrays are epoch-invariant, so a
+    # small dataset can live in HBM and batches become on-device gathers
+    # (run_training.device_resident_iterator) — no per-step host wire at
+    # all.  "auto": on when single-process and the dataset fits the GB
+    # cap; "on": required (error if too big); "off": host loader.
+    device_dataset: str = "auto"              # "auto" | "on" | "off"
+    device_dataset_max_gb: float = 4.0
     # TPU-native addition: uint8/latent-res host->device wire for train
     # batches (training/wire.py) — 67 -> ~25 MB per batch-8 step.  On the
     # tunnel-served host this also bounds a PJRT-client leak that retains

@@ -139,3 +139,37 @@ def test_train_step_with_device_aug(tmp_path):
     with open(tmp_path / "logs" / "progress.jsonl") as f:
         rows = [json.loads(l) for l in f]
     assert rows and np.isfinite(rows[-1]["grad_norm"])
+
+
+def test_device_resident_iterator(tmp_path):
+    """run_training.device_resident_iterator: stages the raw device-aug
+    sample set once and yields on-device gather batches with the same
+    keys/dtypes/value ranges as the host loader path."""
+    import run_training as RT
+
+    from dvd_tpu.config import default_config
+    from dvd_tpu.data.doc3d import Doc3DDataset, make_doc3d_sample_list
+    from dvd_tpu.data.synthetic import write_synthetic_doc3d
+
+    root = str(tmp_path / "syn")
+    write_synthetic_doc3d(root, 6, seed=5)
+    ds = Doc3DDataset(samples=make_doc3d_sample_list(root, split_ratio=1.0),
+                      device_aug=True)
+    cfg = default_config().replace(train={"batch_size": 4})
+    assert RT._device_dataset_ok(cfg, ds)
+    it = RT.device_resident_iterator(cfg, ds, seed=1)
+    b1 = next(it)
+    b2 = next(it)
+    assert set(b1) == {"image512", "doc_mask512", "flow_map"}
+    img = np.asarray(b1["image512"])
+    assert img.shape == (4, 512, 512, 3) and img.dtype == np.float32
+    assert 0.0 <= img.min() and img.max() <= 255.0
+    # epoch reshuffle: second batch draws different indices (6 samples,
+    # batch 4 -> epoch boundary forces a fresh permutation)
+    assert np.asarray(b2["flow_map"]).shape == (4, 512, 512, 2)
+
+    # gate: oversized dataset rejected when forced on
+    cfg_on = default_config().replace(
+        train={"device_dataset": "on", "device_dataset_max_gb": 1e-6})
+    with pytest.raises(ValueError):
+        RT._device_dataset_ok(cfg_on, ds)
