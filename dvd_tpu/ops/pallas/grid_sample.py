@@ -152,6 +152,8 @@ def gather_bilinear_planar(
             (1, 1, BAND, q), lambda ni, ci, bi: (ni, ci, bi, 0),
             memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, c, p, q), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )(gx, gy, img)
 
@@ -288,12 +290,20 @@ def gather_bilinear_grad_planar(
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[shp, shp],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )(gx, gy, img, ct)
 
 
-# VMEM budget: the plane plus double-buffered bands must fit (~16 MB/core)
-_MAX_PLANE_BYTES = 8 * 1024 * 1024
+# VMEM budget: the plane plus double-buffered bands must fit.  The
+# default 16 MB scoped-vmem limit is not the v5e hardware (128 MB);
+# the pallas_call below raises the scoped limit so DIR300-shaped
+# (~2000-2400 px) planes take the strip-mined kernel instead of the
+# row-chunked XLA gather (271 ms/img at 2048^2 —
+# docs/STAGE_PROFILE_hires.json row_chunked rows).
+_MAX_PLANE_BYTES = 24 * 1024 * 1024
+_VMEM_LIMIT = 100 * 1024 * 1024
 
 
 def supports(img_shape, grid_shape) -> bool:

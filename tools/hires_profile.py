@@ -70,7 +70,15 @@ def main():
             ws = [int(p * f) for f in
                   (1.0, 0.78, 0.9, 0.84, 0.95, 0.88, 0.8, 0.97)][:b]
             hw = jnp.asarray(list(zip(hs, ws)), jnp.int32)
-            flow = (jax.random.uniform(key, (b, s, s, 2)) - 0.5) * 0.1
+            # smooth flow like a real dewarp field (low-res noise,
+            # bilinear-upsampled) — the strip-mined gather's cost tracks
+            # the coordinate spread per output tile, and white-noise
+            # flows with ±0.05·canvas jumps between adjacent pixels are
+            # not the serving regime
+            from dvd_tpu.ops.resize import resize_bilinear as _rb
+
+            flow = _rb((jax.random.uniform(key, (b, 6, 6, 2)) - 0.5) * 0.1,
+                       (s, s), align_corners=True)
 
             uw = jax.jit(unwarp_native)
             try:
