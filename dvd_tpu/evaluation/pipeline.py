@@ -494,15 +494,6 @@ def unwarp_native(
     ii = jnp.arange(p, dtype=jnp.float32)[None, :, None]  # row idx
     jj = jnp.arange(p, dtype=jnp.float32)[None, None, :]  # col idx
 
-    # upsample flow to native size: align_corners=True sample positions
-    gx = 2.0 * jj / (w - 1.0) - 1.0         # (B, 1, P) -> broadcast
-    gy = 2.0 * ii / (h - 1.0) - 1.0         # (B, P, 1)
-    up_grid = jnp.stack(
-        [jnp.broadcast_to(gx, (b, p, p)), jnp.broadcast_to(gy, (b, p, p))],
-        axis=-1,
-    )
-    # row-tiled like the final gather below: this output is (B, P, P, 2) —
-    # canvas-sized — so its corner transients are just as unbounded
     from dvd_tpu.ops.pallas import grid_sample as pgs
 
     def pallas_ok(img, grd):
@@ -516,12 +507,24 @@ def unwarp_native(
             f = pgs.shard_batch0(f, mesh, n_in=2)
         return f(img, grd)
 
-    if pallas_ok(flow, up_grid):
-        flow_native = pallas_gs(flow, up_grid, "border")
-    else:
-        flow_native = grid_sample(flow, up_grid, align_corners=True,
-                                  padding_mode="border",
-                                  row_chunk=auto_row_chunk(nb, p, p, 2))
+    # upsample flow to the native size — bilinear on a REGULAR grid with
+    # traced per-image (h, w), so it is separable: two small dynamic-
+    # weight matmuls instead of a gather.  (The gather formulation used
+    # before cost 2 GB of 64x-lane-padded [P^2, 2] temps per corner at a
+    # 2048^2 batch-4 canvas and OOM'd — docs/STAGE_PROFILE_hires.json;
+    # the matmul form is exact: identical clamp + bilinear weights.)
+    s = flow.shape[1]
+    r = jnp.arange(s, dtype=jnp.float32)
+    # align_corners=True source position of output row i / col j in flow
+    # pixels, border-clamped (matches padding_mode="border")
+    src_y = jnp.clip(ii[0, :, 0][None] * (s - 1.0) / (h[:, 0:1, 0] - 1.0),
+                     0.0, s - 1.0)                     # (B, P)
+    src_x = jnp.clip(jj[0, 0][None] * (s - 1.0) / (w[:, 0:1, 0] - 1.0),
+                     0.0, s - 1.0)
+    wy = jnp.maximum(0.0, 1.0 - jnp.abs(src_y[:, :, None] - r))  # (B,P,s)
+    wx = jnp.maximum(0.0, 1.0 - jnp.abs(src_x[:, :, None] - r))
+    flow_native = jnp.einsum("bpr,brqc->bpqc", wy, flow)
+    flow_native = jnp.einsum("bqs,bpsc->bpqc", wx, flow_native)
 
     base_x = jj / (w - 1.0)
     base_y = ii / (h - 1.0)
