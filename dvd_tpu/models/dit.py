@@ -348,7 +348,7 @@ class DiT(nn.Module):
             if seed_init_feat is not None:
                 # at t == T-1 the recurrent features are seeded from the
                 # current pyramid output (cross_model.py:596-601)
-                sel = seed_init_feat.reshape(-1, 1, 1, 1)
+                sel = jnp.asarray(seed_init_feat).reshape(-1, 1, 1, 1)
                 init_feat = jnp.where(sel, feat, init_feat.astype(feat.dtype))
             r_in = jnp.concatenate(
                 [init_flow.astype(self.dtype), init_feat.astype(self.dtype)], axis=-1

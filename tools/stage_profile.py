@@ -26,6 +26,7 @@ def main():
     ap.add_argument("--planar", default="auto",
                     choices=("auto", "on", "off"),
                     help="model.planar_aux override")
+    ap.add_argument("--quantize", default="none", choices=("none", "int8"))
     args = ap.parse_args()
 
     import jax
@@ -35,7 +36,8 @@ def main():
     from dvd_tpu.utils.runtime import enable_compilation_cache
 
     enable_compilation_cache()
-    cfg = default_config().replace(model={"planar_aux": args.planar})
+    cfg = default_config().replace(
+        model={"planar_aux": args.planar, "quantize": args.quantize})
     if args.cond_chunk:
         cfg = cfg.replace(model={"serve_cond_chunk": args.cond_chunk})
     pipe = DewarpPipeline.create(cfg, rng=jax.random.PRNGKey(0))
